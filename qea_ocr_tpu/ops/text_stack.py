@@ -1,0 +1,81 @@
+"""Differentiable batched text-strip extraction (crop + center-pad to white).
+
+TPU-native counterpart of reference `get_text_stack`/`padder`
+(`utils.py:118-141`): instead of a Python loop of variable-size crops +
+ConstantPad2d, every strip is one fixed-shape gather from the document with
+an out-of-bbox mask filled white (1.0). Being a gather it is differentiable,
+so prep-model gradients flow through strip extraction inside one jitted step
+(the reference relies on torch autograd through slicing the same way).
+
+Bboxes are `(..., 4)` int32 `[x_min, y_min, x_max, y_max]` in document pixel
+coordinates; crops are guaranteed by the data layer to satisfy
+`x_max-x_min < W_out`, `y_max-y_min < H_out` (dataset filter parity with
+`datasets/patch_dataset.py:95`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _extract_one(doc: jax.Array, bbox: jax.Array, h_out: int, w_out: int) -> jax.Array:
+    """doc: (H, W) single-channel document; bbox: (4,) int32. -> (h_out, w_out)."""
+    x_min, y_min, x_max, y_max = bbox[0], bbox[1], bbox[2], bbox[3]
+    ch = y_max - y_min
+    cw = x_max - x_min
+    pad_top = (h_out - ch) // 2
+    pad_left = (w_out - cw) // 2
+
+    rows = y_min - pad_top + jnp.arange(h_out, dtype=jnp.int32)     # (h_out,)
+    cols = x_min - pad_left + jnp.arange(w_out, dtype=jnp.int32)    # (w_out,)
+    row_valid = (rows >= y_min) & (rows < y_max)
+    col_valid = (cols >= x_min) & (cols < x_max)
+    H, W = doc.shape
+    rows_c = jnp.clip(rows, 0, H - 1)
+    cols_c = jnp.clip(cols, 0, W - 1)
+    patch = jnp.take(jnp.take(doc, rows_c, axis=0), cols_c, axis=1)
+    valid = row_valid[:, None] & col_valid[None, :]
+    return jnp.where(valid, patch, jnp.ones((), dtype=doc.dtype))
+
+
+@partial(jax.jit, static_argnames=("h_out", "w_out"))
+def get_text_stack(
+    doc: jax.Array,
+    bboxes: jax.Array,
+    h_out: int = 32,
+    w_out: int = 128,
+) -> jax.Array:
+    """Extract a stack of fixed-size strips from one document.
+
+    Args:
+      doc: (H, W) or (1, H, W) float document image.
+      bboxes: (S, 4) int32 [x_min, y_min, x_max, y_max].
+
+    Returns: (S, 1, h_out, w_out) strips, white-padded and centered.
+    """
+    if doc.ndim == 3:
+        doc = doc[0]
+    strips = jax.vmap(lambda b: _extract_one(doc, b, h_out, w_out))(bboxes)
+    return strips[:, None, :, :]
+
+
+@partial(jax.jit, static_argnames=("h_out", "w_out"))
+def get_text_stack_batch(
+    docs: jax.Array,
+    bboxes: jax.Array,
+    h_out: int = 32,
+    w_out: int = 128,
+) -> jax.Array:
+    """Batched over documents.
+
+    Args:
+      docs: (D, 1, H, W) documents.
+      bboxes: (D, S, 4) int32 per-document boxes (masked slots may hold any
+        in-range dummy box; callers carry a separate strip mask).
+
+    Returns: (D, S, 1, h_out, w_out).
+    """
+    return jax.vmap(lambda d, b: get_text_stack(d, b, h_out, w_out))(docs, bboxes)
