@@ -1,0 +1,90 @@
+"""Host batching pipeline: fixed-shape numpy batches + device prefetch.
+
+The reference leans on torch DataLoader workers (`properties.py:34`,
+`train_nn_patch.py:125-131`). TPU-first equivalent: batches are dense numpy
+structs (images, encoded labels, masks, strip ids) assembled on host and
+prefetched onto device while the previous step runs; all raggedness was
+already resolved at dataset construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from qea_ocr_tpu.data.datasets import DocSample, WordSample
+from qea_ocr_tpu.utils.charmap import CharMap
+
+
+@dataclasses.dataclass
+class WordBatch:
+    images: np.ndarray       # (B, 1, H, W) float32
+    labels: np.ndarray       # (B, L) int32
+    lengths: np.ndarray      # (B,) int32
+    strip_ids: np.ndarray    # (B,) int32
+    texts: List[str]
+    names: List[str]
+
+
+@dataclasses.dataclass
+class DocBatch:
+    images: np.ndarray       # (D, 1, H, W) float32
+    bboxes: np.ndarray       # (D, S, 4) int32
+    strip_mask: np.ndarray   # (D, S) bool
+    gt_labels: np.ndarray    # (D, S, L) int32
+    gt_lengths: np.ndarray   # (D, S) int32
+    strip_ids: np.ndarray    # (D, S) int32
+    strip_names: List[List[str]]
+    doc_names: List[str]
+
+
+def collate_words(samples: Sequence[WordSample], charmap: CharMap) -> WordBatch:
+    imgs = np.stack([s.image for s in samples])[:, None]
+    texts = [charmap.clean(s.label) for s in samples]
+    labels, lengths = charmap.encode(texts)
+    ids = np.asarray([s.strip_id for s in samples], np.int32)
+    return WordBatch(imgs.astype(np.float32), labels, lengths, ids,
+                     texts, [s.name for s in samples])
+
+
+def collate_docs(samples: Sequence[DocSample]) -> DocBatch:
+    return DocBatch(
+        images=np.stack([s.image for s in samples])[:, None].astype(np.float32),
+        bboxes=np.stack([s.bboxes for s in samples]),
+        strip_mask=np.stack([s.strip_mask for s in samples]),
+        gt_labels=np.stack([s.gt_labels for s in samples]),
+        gt_lengths=np.stack([s.gt_lengths for s in samples]),
+        strip_ids=np.stack([s.strip_ids for s in samples]),
+        strip_names=[s.strip_names for s in samples],
+        doc_names=[s.doc_name for s in samples],
+    )
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    collate_fn,
+    *,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    seed: int = 0,
+    epoch: int = 0,
+    indices: Optional[np.ndarray] = None,
+) -> Iterator:
+    """Shuffled fixed-size batches; optional index subset (pruning /
+    image_prop subsampling parity with SubsetRandomSampler usage)."""
+    if indices is None:
+        indices = np.arange(len(dataset))
+    indices = np.asarray(indices)
+    if shuffle:
+        rng = np.random.default_rng(seed + epoch)
+        indices = rng.permutation(indices)
+    n = len(indices)
+    end = n - (n % batch_size) if drop_last else n
+    for start in range(0, end, batch_size):
+        chunk = indices[start:start + batch_size]
+        if drop_last and len(chunk) < batch_size:
+            break
+        yield collate_fn([dataset[int(i)] for i in chunk])

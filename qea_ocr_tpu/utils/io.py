@@ -1,0 +1,98 @@
+"""Experiment directories, JSON side-state, checkpointing.
+
+Counterpart of reference `utils.py:191-231` (create_dirs / save_json /
+save_all_jsons) and the whole-module-pickle checkpoints
+(`train_nn_patch.py:440-459`). Checkpoints here are orbax pytrees of
+{params, batch_stats, opt_state, step} (+ msgpack fallback), not pickles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class ExpDirs:
+    """Experiment directory layout parity: ckpts/, cers/, tracked_labels/,
+    selected_samples/, img_out/."""
+    base: str
+
+    @property
+    def ckpts(self): return os.path.join(self.base, "ckpts")
+    @property
+    def cers(self): return os.path.join(self.base, "cers")
+    @property
+    def tracked_labels(self): return os.path.join(self.base, "tracked_labels")
+    @property
+    def selected_samples(self): return os.path.join(self.base, "selected_samples")
+    @property
+    def img_out(self): return os.path.join(self.base, "img_out")
+
+    def create(self) -> "ExpDirs":
+        for d in (self.base, self.ckpts, self.cers, self.tracked_labels,
+                  self.selected_samples, self.img_out):
+            os.makedirs(d, exist_ok=True)
+        return self
+
+
+def save_json(obj: Any, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(obj, f)
+
+
+def load_json(path: str) -> Any:
+    with open(path) as f:
+        return json.load(f)
+
+
+def save_image_png(img: np.ndarray, path: str) -> None:
+    """Save a (H, W) or (1, H, W) float [0,1] image as PNG."""
+    from PIL import Image
+    img = np.asarray(img)
+    if img.ndim == 3:
+        img = img[0]
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8), "L").save(path)
+
+
+# ---------------------------------------------------------------- checkpoints
+def _state_to_pytree(state) -> Dict[str, Any]:
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+
+
+def save_checkpoint(path: str, state) -> None:
+    """Orbax save of a ModelState's arrays (tx excluded — rebuild at load)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.tree_util.tree_map(np.asarray, _state_to_pytree(state)),
+               force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str, state):
+    """Restore into an existing ModelState template (same tx/shapes)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    target = jax.tree_util.tree_map(np.asarray, _state_to_pytree(state))
+    restored = ckptr.restore(path, target=target)
+    return state.replace(
+        step=restored["step"],
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state.opt_state),
+            jax.tree_util.tree_leaves(restored["opt_state"]),
+        ),
+    )

@@ -12,6 +12,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-prepends the TPU platform to JAX_PLATFORMS;
+# override after import so tests really run on the 8-virtual-device CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: repeated test runs skip recompiles.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
