@@ -1,0 +1,189 @@
+"""Jitted step functions for the patch/area preprocessor trainers.
+
+The reference's two-phase algorithm (`train_nn_patch.py:225-345`) runs a
+per-document Python loop with host OCR calls interleaved into autograd. The
+TPU decomposition keeps one compiled program per phase and only the
+black-box OCR on host:
+
+  prep_extract   : UNet fwd (eval) + differentiable strip gather -> strips
+  select         : budget selection kernel (see qea_ocr_tpu.selection)
+  [host]         : OCR selected strips (async engine), history update
+  phase_a        : CRNN update — weighted history CTC on clean strips +
+                   jitter CTC on noisy strips, all folded into fixed-shape
+                   masked batches (`train_nn_patch.py:278-309` semantics)
+  phase_b        : prep update — CTC(GT) through the strip gather w/ frozen
+                   CRNN batch stats + sec_loss_scalar * MSE(doc, white),
+                   fused with the device CER/entropy table update
+                   (`train_nn_patch.py:312-345` + `update_cer`)
+  val_forward    : prep + strips + decode for the epoch validation loop
+
+Shapes: D docs x S strip slots flatten to N = D*S strip rows; every ragged
+quantity carries a mask. All functions are pure; trainers own the state.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+
+from qea_ocr_tpu.ops.ctc import ctc_loss_mean, ctc_loss_samplewise, greedy_decode
+from qea_ocr_tpu.ops.edit_distance import cer_from_labels
+from qea_ocr_tpu.ops.entropy import mean_sequence_entropy
+from qea_ocr_tpu.ops.text_stack import get_text_stack_batch
+from qea_ocr_tpu.tracking.loss import weighted_ctc_loss
+from qea_ocr_tpu.train.crnn_trainer import scrub_nonfinite
+
+
+def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
+               sec_loss_scalar=1.0):
+    pad_id = charmap.pad_id
+    max_len = charmap.max_len
+
+    # ------------------------------------------------------------------
+    @jax.jit
+    def prep_extract(prep_state, images, bboxes):
+        """UNet eval fwd + strip gather. Returns (doc_out (D,1,H,W),
+        strips (N,1,h,w)) with N = D*S; gradients NOT needed here (phase A
+        treats prep as frozen, `train_nn_patch.py:227`)."""
+        doc_out = prep_model.apply(prep_state.variables, images, train=False)
+        strips = get_text_stack_batch(doc_out, bboxes, h_out, w_out)
+        D, S = bboxes.shape[:2]
+        strips = strips.reshape(D * S, 1, h_out, w_out)
+        return doc_out, jax.lax.stop_gradient(strips)
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnames=("decaying", "inner_limit_skip"))
+    def phase_a(crnn_state, strips, bb_mask,
+                hist_labels, hist_lengths, hist_valid, loss_weights,
+                jitter_images, jitter_labels, jitter_lengths,
+                *, decaying: bool, inner_limit_skip: bool):
+        """CRNN (proxy) update.
+
+        Args:
+          strips: (N,1,h,w) prep-cleaned strips (stop-grad).
+          bb_mask: (N,) bool — strips whose OCR labels arrived this step.
+          hist_*: (N,W,...) label-history targets (valid already ∧ bb_mask).
+          loss_weights: (W,) decaying scalars or (N,W+1) per-sample weights.
+          jitter_images: (I,N,1,h,w) noisy strips (I = jitter inner loops,
+            possibly 0); jitter_labels (I,N,L), jitter_lengths (I,N).
+
+        Loss = [tracking weighted CTC if inner_limit_skip] + sum_i CTC_mean_i
+        (gradient accumulation over the reference inner loop == sum of
+        losses before a single optimizer step, `train_nn_patch.py:278-309`).
+        """
+        def loss_fn(params):
+            total = 0.0
+            variables = {"params": params, "batch_stats": crnn_state.batch_stats}
+            if inner_limit_skip:
+                scores = crnn_model.apply(variables, strips, train=False)
+                total += weighted_ctc_loss(
+                    scores, hist_labels, hist_lengths, hist_valid,
+                    loss_weights, pad_id=pad_id, decaying=decaying)
+            I = jitter_images.shape[0]
+            for i in range(I):
+                scores_i = crnn_model.apply(
+                    variables, jitter_images[i], train=False)
+                total += ctc_loss_mean(
+                    scores_i, jitter_labels[i], jitter_lengths[i],
+                    pad_id=pad_id, sample_mask=bb_mask)
+            return total
+
+        loss, grads = jax.value_and_grad(loss_fn)(crnn_state.params)
+        grads = scrub_nonfinite(grads)
+        new_state = crnn_state.apply_gradients(grads)
+        return new_state, loss
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnames=("update_crnn",), donate_argnums=(6, 7))
+    def phase_b(prep_state, crnn_state, images, bboxes, strip_mask,
+                gt_labels, cer_table, ent_table, gt_lengths, strip_ids,
+                *, update_crnn: bool):
+        """Preprocessor update + fused CER/entropy table update.
+
+        prep runs in train mode (batch stats update); CRNN runs with FROZEN
+        batch stats (`set_bn_eval` parity, `train_nn_patch.py:314`) but its
+        params still receive gradients when `update_crnn`.
+
+        Returns (new_prep, new_crnn, doc_out, metrics dict, new tables).
+        """
+        D, S = bboxes.shape[:2]
+        N = D * S
+        flat_mask = strip_mask.reshape(N)
+        flat_labels = gt_labels.reshape(N, max_len)
+        flat_lengths = gt_lengths.reshape(N)
+
+        def loss_fn(prep_params, crnn_params):
+            doc_out, prep_updates = prep_model.apply(
+                {"params": prep_params, "batch_stats": prep_state.batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            strips = get_text_stack_batch(doc_out, bboxes, h_out, w_out)
+            strips = strips.reshape(N, 1, h_out, w_out)
+            scores = crnn_model.apply(
+                {"params": crnn_params, "batch_stats": crnn_state.batch_stats},
+                strips, train=False)   # frozen BN stats
+            pri = ctc_loss_mean(scores, flat_labels, flat_lengths,
+                                pad_id=pad_id, sample_mask=flat_mask)
+            sec = jnp.mean((doc_out - 1.0) ** 2) * sec_loss_scalar
+            return pri + sec, (doc_out, scores, prep_updates["batch_stats"])
+
+        (loss, (doc_out, scores, new_prep_bs)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+            prep_state.params, crnn_state.params)
+        prep_grads, crnn_grads = grads
+        new_prep = prep_state.apply_gradients(
+            scrub_nonfinite(prep_grads)).replace(batch_stats=new_prep_bs)
+        if update_crnn:
+            new_crnn = crnn_state.apply_gradients(scrub_nonfinite(crnn_grads))
+        else:
+            new_crnn = crnn_state
+
+        # ---- device CER update (reference sampler.update_cer path) ----
+        dec, dec_len = greedy_decode(scores, pad_id=pad_id)
+        cers = cer_from_labels(
+            dec[:, :max_len], jnp.minimum(dec_len, max_len),
+            flat_labels, flat_lengths)                    # (N,)
+        ids = strip_ids.reshape(N)
+        safe_ids = jnp.where(flat_mask, ids, cer_table.shape[0])  # OOB drop
+        new_cer_table = cer_table.at[safe_ids].set(cers, mode="drop")
+        ents = mean_sequence_entropy(scores)              # (N,)
+        new_ent_table = ent_table.at[safe_ids].set(ents, mode="drop")
+
+        metrics = dict(loss=loss, cers=cers, decoded=dec, decoded_len=dec_len)
+        return new_prep, new_crnn, doc_out, metrics, new_cer_table, new_ent_table
+
+    # ------------------------------------------------------------------
+    @jax.jit
+    def val_forward(prep_state, crnn_state, images, bboxes, strip_mask,
+                    gt_labels, gt_lengths):
+        """Validation fwd: cleaned doc, strips (for host OCR), CRNN decode,
+        and the prep loss (CTC(GT) + MSE) — reference `train_nn_patch.py:366-374`."""
+        D, S = bboxes.shape[:2]
+        N = D * S
+        doc_out = prep_model.apply(prep_state.variables, images, train=False)
+        strips = get_text_stack_batch(doc_out, bboxes, h_out, w_out)
+        strips = strips.reshape(N, 1, h_out, w_out)
+        scores = crnn_model.apply(crnn_state.variables, strips, train=False)
+        flat_mask = strip_mask.reshape(N)
+        loss = ctc_loss_mean(
+            scores, gt_labels.reshape(N, max_len), gt_lengths.reshape(N),
+            pad_id=pad_id, sample_mask=flat_mask)
+        loss = loss + jnp.mean((doc_out - 1.0) ** 2) * sec_loss_scalar
+        dec, dec_len = greedy_decode(scores, pad_id=pad_id)
+        return doc_out, strips, dec, dec_len, loss
+
+    # ------------------------------------------------------------------
+    @jax.jit
+    def entropy_of(crnn_state, strips):
+        scores = crnn_model.apply(crnn_state.variables, strips, train=False)
+        return mean_sequence_entropy(scores)
+
+    return SimpleNamespace(
+        prep_extract=prep_extract,
+        phase_a=phase_a,
+        phase_b=phase_b,
+        val_forward=val_forward,
+        entropy_of=entropy_of,
+    )

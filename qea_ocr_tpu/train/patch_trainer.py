@@ -1,0 +1,567 @@
+"""Budget-aware patch preprocessor trainer (the flagship entry point).
+
+Capability parity with reference `train_nn_patch.py:34-467` (see SURVEY.md
+§3.1), re-architected for TPU:
+
+  * documents are batched (`batch_docs` >= 1; the reference hardwires batch
+    size 1, `train_nn_patch.py:37`) and every per-strip Python loop is a
+    fixed-shape masked device op;
+  * CER bookkeeping, selection, greedy decode, and entropy estimates run
+    inside the compiled phase steps (`qea_ocr_tpu.train.patch_steps`);
+  * the black-box OCR is the only host boundary, behind the async
+    `OcrQueryEngine`;
+  * checkpoints are orbax pytrees + the reference's JSON side-state
+    (tracked labels / CER history / selected-samples bitmap) for drop-in
+    artifact compatibility.
+
+Two-phase step semantics preserved:
+  PHASE A (proxy): OCR the budget-selected cleaned strips; weighted CTC over
+    label history (weights generated from pre-update history, reference
+    order `train_nn_patch.py:282-283`) plus jittered-OCR CTC inner loops;
+    one CRNN optimizer step per batch.
+  PHASE B (prep): CTC(GT) through the strip gather with frozen CRNN batch
+    stats + sec_loss_scalar * MSE(doc, white); prep optimizer step
+    (optionally CRNN too via `update_CRNN`); CER table refresh from CRNN
+    decode vs GT.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qea_ocr_tpu import config as C
+from qea_ocr_tpu.data.datasets import PatchDocuments
+from qea_ocr_tpu.data.pipeline import DocBatch, batch_iterator, collate_docs
+from qea_ocr_tpu.models import CRNN, HistoryAttention, UNet
+from qea_ocr_tpu.ocr.base import get_ocr_helper
+from qea_ocr_tpu.ocr.engine import OcrQueryEngine
+from qea_ocr_tpu.ops.edit_distance import compare_labels_device
+from qea_ocr_tpu.selection import (
+    is_global,
+    membership_mask,
+    select_batch,
+    GLOBAL_METHODS,
+)
+from qea_ocr_tpu.tracking import (
+    LabelHistory,
+    attention_weights,
+    decaying_weights,
+    levenshtein_weights,
+    weightgenerator_factory,
+)
+from qea_ocr_tpu.train.patch_steps import make_steps
+from qea_ocr_tpu.train.state import ModelState, adam_l2
+from qea_ocr_tpu.utils.charmap import CharMap
+from qea_ocr_tpu.utils.io import ExpDirs, load_json, save_checkpoint, save_image_png, save_json
+from qea_ocr_tpu.utils.metrics import MetricsLogger, StepTimer
+
+
+@dataclasses.dataclass
+class PatchTrainerConfig:
+    # reference flag surface (patch_cli.py:10-156)
+    lr_crnn: float = 1e-4
+    lr_prep: float = 5e-5
+    scalar: float = 1.0                    # secondary-loss scalar
+    epochs: int = 25
+    random_seed: int = 42
+    std: int = 5
+    inner_limit: int = 2
+    inner_limit_skip: bool = False
+    crnn_model: Optional[str] = None       # checkpoint to load
+    prep_model: Optional[str] = None
+    exp_base_path: str = "."
+    ocr: str = "Tesseract"
+    random_std: bool = True
+    minibatch_subset: Optional[str] = None
+    minibatch_subset_prop: float = 0.5
+    start_epoch: int = 0
+    data_base_path: str = "."
+    warmup_epochs: int = 0
+    exp_name: str = "test_patch"
+    train_subset_size: Optional[int] = None
+    val_subset_size: Optional[int] = None
+    weight_decay: float = 5e-4
+    cers_ocr_path: Optional[str] = None
+    image_prop: Optional[float] = None
+    discount_factor: float = 1.0
+    update_CRNN: bool = False
+    window_size: int = 1
+    query_dim: int = 32
+    emb_dim: int = 256
+    attn_activation: str = "sigmoid"
+    weightgen_method: str = "decaying"
+    decay_factor: float = 0.7
+    pruning_artifact: Optional[str] = None
+    # TPU-native additions
+    batch_docs: int = 1
+    max_strips: int = 32
+    dataset: str = "patch"                 # patch | synthetic
+    synthetic_train_docs: int = 32
+    synthetic_val_docs: int = 8
+    synthetic_strips_per_doc: int = 6
+    corruption: Optional[dict] = None
+    doc_size: tuple = C.DOC_SIZE
+    lstm_hidden: int = 256
+    unet_features: int = 32
+    use_wandb: bool = False
+    optuna_trial: object = None
+
+
+class TrainNNPrep:
+    """Patch-dataset two-phase trainer."""
+
+    def __init__(self, cfg: PatchTrainerConfig):
+        self.cfg = cfg
+        self.charmap = CharMap.default()
+        self.dirs = ExpDirs(cfg.exp_base_path).create()
+        np.random.seed(cfg.random_seed)
+        self._np_rng = np.random.default_rng(cfg.random_seed)
+        self._key = jax.random.PRNGKey(cfg.random_seed)
+
+        # ----------------------------------------------------------- data
+        if cfg.dataset == "synthetic":
+            corruption = cfg.corruption
+            self.dataset = PatchDocuments.synthetic(
+                cfg.synthetic_train_docs, seed=cfg.random_seed,
+                n_strips=cfg.synthetic_strips_per_doc,
+                max_strips=cfg.max_strips, corruption=corruption,
+                doc_size=cfg.doc_size)
+            self.validation_set = PatchDocuments.synthetic(
+                cfg.synthetic_val_docs, seed=cfg.random_seed + 1,
+                n_strips=cfg.synthetic_strips_per_doc,
+                max_strips=cfg.max_strips, corruption=corruption,
+                doc_size=cfg.doc_size)
+        else:
+            self.dataset = PatchDocuments(
+                os.path.join(cfg.data_base_path, C.PATCH_TRAIN),
+                max_strips=cfg.max_strips, num_subset=cfg.train_subset_size,
+                doc_size=cfg.doc_size)
+            self.validation_set = PatchDocuments(
+                os.path.join(cfg.data_base_path, C.PATCH_DEV),
+                max_strips=cfg.max_strips, num_subset=cfg.val_subset_size,
+                doc_size=cfg.doc_size)
+
+        self.train_indices = self._training_indices()
+        self.train_set_size = len(self.train_indices)
+        self.val_set_size = len(self.validation_set)
+
+        backend = get_ocr_helper(cfg.ocr)
+        if backend is None:
+            raise ValueError(f"unknown OCR backend {cfg.ocr!r}")
+        self.ocr = OcrQueryEngine(backend, self.charmap)
+
+        # ----------------------------------------------------------- models
+        self.prep_model = UNet(init_features=cfg.unet_features)
+        self.crnn_model = CRNN(vocab_size=self.charmap.vocab_size,
+                               lstm_hidden=cfg.lstm_hidden)
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(cfg.random_seed), 3)
+        prep_vars = self.prep_model.init(
+            k1, jnp.zeros((1, 1, *cfg.doc_size)), train=False)
+        crnn_vars = self.crnn_model.init(
+            k2, jnp.zeros((1, 1, *C.INPUT_SIZE)), train=False)
+        self.prep_state = ModelState.create(
+            prep_vars, adam_l2(cfg.lr_prep, cfg.weight_decay))
+        self.crnn_state = ModelState.create(
+            crnn_vars, adam_l2(cfg.lr_crnn, cfg.weight_decay))
+        if cfg.prep_model:
+            from qea_ocr_tpu.utils.io import load_checkpoint
+            self.prep_state = load_checkpoint(cfg.prep_model, self.prep_state)
+        if cfg.crnn_model:
+            from qea_ocr_tpu.utils.io import load_checkpoint
+            self.crnn_state = load_checkpoint(cfg.crnn_model, self.crnn_state)
+
+        # ------------------------------------------------- tracking/weights
+        self.weightgen_method = weightgenerator_factory(cfg.weightgen_method)
+        self.history = LabelHistory(
+            self.dataset.num_strips, cfg.window_size, self.charmap)
+        self.attn_model = None
+        self.attn_vars = None
+        if cfg.weightgen_method == "self_attention":
+            self.attn_model = HistoryAttention(
+                char_vocab_size=self.charmap.vocab_size,
+                emb_size=cfg.emb_dim, query_dim=cfg.query_dim,
+                window_size=cfg.window_size,
+                activation=cfg.attn_activation)
+            self.attn_vars = self.attn_model.init(
+                k3, jnp.zeros(
+                    (1, cfg.window_size, self.charmap.max_len), jnp.int32))
+
+        # ------------------------------------------------- CER/side state
+        n = self.dataset.num_strips
+        cers0 = np.ones((n,), np.float32)
+        self.selected_samples: Dict[str, List[bool]] = {}
+        if cfg.cers_ocr_path:
+            seed = load_json(cfg.cers_ocr_path)
+            for name, cer in seed.items():
+                if name in self.dataset.name_to_id:
+                    cers0[self.dataset.name_to_id[name]] = cer
+            for name in seed:
+                self.selected_samples[name] = [False] * cfg.epochs
+        self.cer_table = jnp.asarray(cers0)
+        self.ent_table = jnp.ones((n,), jnp.float32)
+        self.all_cers: Dict[str, List[float]] = {}
+        self.global_bitmap = np.zeros((n,), bool)
+
+        self.steps = make_steps(
+            self.prep_model, self.crnn_model, self.charmap,
+            sec_loss_scalar=cfg.scalar)
+        self.logger = MetricsLogger(
+            cfg.exp_base_path, use_wandb=cfg.use_wandb)
+        self.timer = StepTimer()
+        self._compare = jax.jit(compare_labels_device)
+
+    # ------------------------------------------------------------------
+    def _training_indices(self) -> np.ndarray:
+        cfg = self.cfg
+        idx = np.arange(len(self.dataset))
+        if cfg.pruning_artifact:
+            from qea_ocr_tpu.pruning.prune import pruning_indices
+            idx = pruning_indices(self.dataset, cfg.pruning_artifact)
+        elif cfg.train_subset_size:
+            rng = np.random.default_rng(cfg.random_seed)
+            idx = rng.permutation(idx)[: cfg.train_subset_size]
+        return idx
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _noise(self, images: np.ndarray) -> np.ndarray:
+        cfg = self.cfg
+        B = images.shape[0]
+        if cfg.random_std:
+            stds = self._np_rng.integers(0, cfg.std + 1, B) / 100.0
+        else:
+            stds = np.full(B, cfg.std / 100.0)
+        noise = self._np_rng.normal(0.0, 1.0, images.shape).astype(np.float32)
+        noise *= stds.reshape(B, *([1] * (images.ndim - 1))).astype(np.float32)
+        return np.clip(images - noise, 0.0, 1.0)
+
+    # ------------------------------------------------------------------
+    def _select(self, batch: DocBatch, epoch: int):
+        """Returns bb_mask (D,S) bool numpy + per-doc counts."""
+        cfg = self.cfg
+        valid = jnp.asarray(batch.strip_mask)
+        ids = jnp.asarray(batch.strip_ids)
+        if (not cfg.minibatch_subset) or epoch < cfg.warmup_epochs:
+            return np.asarray(batch.strip_mask)
+        if is_global(cfg.minibatch_subset):
+            m = membership_mask(ids, jnp.asarray(self.global_bitmap)) & valid
+            return np.asarray(m)
+        est_table = (self.ent_table
+                     if cfg.minibatch_subset == "uniformEntropy"
+                     else self.cer_table)
+        est = est_table[ids]
+        bb_mask, _ = select_batch(
+            cfg.minibatch_subset, self._next_key(), est, valid,
+            cfg.minibatch_subset_prop)
+        return np.asarray(bb_mask)
+
+    def _gen_weights(self, sel_ids: np.ndarray):
+        """Loss weights from PRE-update history (reference order)."""
+        cfg = self.cfg
+        if cfg.weightgen_method == "decaying":
+            return decaying_weights(cfg.decay_factor, cfg.window_size)
+        labs, lens, valid = self.history.gather(sel_ids)
+        if cfg.weightgen_method == "levenshtein":
+            return levenshtein_weights(
+                jnp.asarray(labs), jnp.asarray(lens), jnp.asarray(valid))
+        return attention_weights(
+            self.attn_model.apply, self.attn_vars,
+            jnp.asarray(labs), jnp.asarray(valid))
+
+    # ------------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        D, S = cfg.batch_docs, cfg.max_strips
+        N = D * S
+        L = self.charmap.max_len
+        W = cfg.window_size
+        n_jitter = max(0, cfg.inner_limit - (1 if cfg.inner_limit_skip else 0)) \
+            if cfg.inner_limit else 0
+        best_val_acc, best_val_epoch = 0.0, 0
+        total_crnn_updates = 0
+
+        for epoch in range(cfg.start_epoch, cfg.epochs):
+            if is_global(cfg.minibatch_subset):
+                self._global_select(epoch)
+            indices = self.train_indices
+            if cfg.image_prop:
+                k = int(cfg.image_prop * len(indices))
+                indices = self._np_rng.permutation(indices)[:k]
+            self.ocr.reset_epoch()
+            epoch_print = True
+            training_loss = crnn_loss_acc = 0.0
+            steps = 0
+            epoch_crnn_updates = 0
+            last_doc_out = None
+            last_batch = None
+
+            for batch in batch_iterator(
+                    self.dataset, D, collate_docs, seed=cfg.random_seed,
+                    epoch=epoch, indices=indices):
+                images = jnp.asarray(batch.images)
+                bboxes = jnp.asarray(batch.bboxes)
+
+                # ---------------- selection + OCR (host boundary) --------
+                with self.timer.time("prep_extract"):
+                    _, strips = self.steps.prep_extract(
+                        self.prep_state, images, bboxes)
+                bb_mask = self._select(batch, epoch)          # (D,S) bool
+                flat_bb = bb_mask.reshape(N)
+                flat_ids = batch.strip_ids.reshape(N)
+                sel_rows = np.nonzero(flat_bb)[0]
+                sel_ids = flat_ids[sel_rows]
+                if epoch_print:
+                    print(f"Total Samples - {int(batch.strip_mask.sum())}")
+                    print(f"OCR Samples - {len(sel_rows)}")
+                    epoch_print = False
+                for d in range(D):
+                    for j in np.nonzero(bb_mask[d])[0]:
+                        name = batch.strip_names[d][j] if j < len(
+                            batch.strip_names[d]) else None
+                        if name is not None:
+                            self.selected_samples.setdefault(
+                                name, [False] * cfg.epochs)[epoch] = True
+
+                if cfg.inner_limit:
+                    self._phase_a(batch, strips, flat_bb, sel_rows, sel_ids,
+                                  n_jitter, N, L, W)
+                    total_crnn_updates += 1
+                    epoch_crnn_updates += 1
+                    crnn_loss_acc += self._last_crnn_loss
+
+                # ---------------- phase B: prep update --------------------
+                with self.timer.time("phase_b"):
+                    (self.prep_state, self.crnn_state, doc_out, metrics,
+                     self.cer_table, self.ent_table) = self.steps.phase_b(
+                        self.prep_state, self.crnn_state, images, bboxes,
+                        jnp.asarray(batch.strip_mask),
+                        jnp.asarray(batch.gt_labels),
+                        self.cer_table, self.ent_table,
+                        jnp.asarray(batch.gt_lengths),
+                        jnp.asarray(batch.strip_ids),
+                        update_crnn=cfg.update_CRNN)
+                training_loss += float(metrics["loss"])
+                steps += 1
+                last_doc_out, last_batch = doc_out, batch
+
+                if cfg.minibatch_subset:
+                    cers_np = np.asarray(metrics["cers"]).reshape(D, S)
+                    for d in range(D):
+                        for j in np.nonzero(batch.strip_mask[d])[0]:
+                            name = batch.strip_names[d][j]
+                            self.all_cers.setdefault(name, []).append(
+                                float(cers_np[d, j]))
+
+            if cfg.minibatch_subset:
+                self._save_side_jsons(epoch)
+
+            print(f"Epoch BB calls - {self.ocr.epoch_calls}")
+            val = self._validate()
+            train_loss = training_loss / max(1, steps)
+            crnn_train_loss = crnn_loss_acc / max(1, self.ocr.epoch_calls)
+
+            metrics_out = {
+                "CRNN_accuracy": val["crnn_acc"],
+                f"{cfg.ocr}_accuracy": val["ocr_acc"],
+                "CRNN_CER": val["crnn_cer"],
+                f"{cfg.ocr}_cer": val["ocr_cer"],
+                "Epoch": epoch + 1,
+                "train_loss": train_loss,
+                "val_loss": val["loss"],
+                "Total Black-Box Calls": self.ocr.total_calls,
+                "Black-Box Calls": self.ocr.epoch_calls,
+                "Train + Val BB Calls": self.ocr.epoch_calls + val["bb_calls"],
+                "Total CRNN Updates": total_crnn_updates,
+                "CRNN Updates": epoch_crnn_updates,
+                "CRNN_loss": crnn_train_loss,
+                "CRNN_OCR_Matching_ACC": val["match_acc"],
+                "CRNN_OCR_Matching_CER": val["match_cer"],
+            }
+            metrics_out.update(self.timer.summary())
+            self.logger.log(metrics_out)
+
+            # sample cleaned image (+ original once)
+            if last_doc_out is not None:
+                save_image_png(
+                    np.asarray(last_doc_out[0]),
+                    os.path.join(self.dirs.img_out, f"out_{epoch}.png"))
+                if epoch == 0:
+                    save_image_png(
+                        last_batch.images[0],
+                        os.path.join(self.dirs.img_out, "out_original.png"))
+
+            ocr_acc = val["ocr_acc"]
+            prep_path = os.path.join(
+                self.dirs.ckpts, f"Prep_model_{epoch}_{ocr_acc * 100:.2f}")
+            save_checkpoint(prep_path, self.prep_state)
+            save_checkpoint(
+                os.path.join(self.dirs.ckpts, f"CRNN_model_{epoch}"),
+                self.crnn_state)
+            if ocr_acc > best_val_acc:
+                best_val_acc, best_val_epoch = ocr_acc, epoch
+                save_checkpoint(
+                    os.path.join(self.dirs.ckpts, "Prep_model_best"),
+                    self.prep_state)
+                self.logger.update_summary({
+                    "best_val_acc": best_val_acc,
+                    "best_val_epoch": best_val_epoch,
+                })
+            self._maybe_optuna(ocr_acc * 100, epoch)
+        print("Training Completed.")
+        return best_val_acc, best_val_epoch
+
+    # ------------------------------------------------------------------
+    def _phase_a(self, batch: DocBatch, strips, flat_bb, sel_rows, sel_ids,
+                 n_jitter, N, L, W):
+        """OCR + tracking + jitter, then one jitted CRNN update."""
+        cfg = self.cfg
+        strips_np = np.asarray(strips)          # (N,1,h,w)
+        sel_strips = strips_np[sel_rows]
+
+        hist_labels = np.full((N, W, L), self.charmap.pad_id, np.int32)
+        hist_lengths = np.zeros((N, W), np.int32)
+        hist_valid = np.zeros((N, W), bool)
+        loss_weights = None
+        if cfg.inner_limit_skip:
+            with self.timer.time("ocr"):
+                res = self.ocr.query(sel_strips)
+            lw = self._gen_weights(sel_ids)     # pre-update history
+            if cfg.weightgen_method == "decaying":
+                loss_weights = lw
+            else:
+                full = np.zeros((N, W + 1), np.float32)
+                full[sel_rows] = np.asarray(lw)
+                loss_weights = jnp.asarray(full)
+            self.history.add(sel_ids, res.labels, res.lengths, res.texts)
+            labs, lens, valid = self.history.gather(sel_ids)
+            hist_labels[sel_rows] = labs
+            hist_lengths[sel_rows] = lens
+            hist_valid[sel_rows] = valid
+        else:
+            loss_weights = decaying_weights(cfg.decay_factor, W)
+
+        jitter_images = np.ones((n_jitter, N, 1, *strips_np.shape[2:]),
+                                np.float32)
+        jitter_labels = np.full((n_jitter, N, L), self.charmap.pad_id, np.int32)
+        jitter_lengths = np.zeros((n_jitter, N), np.int32)
+        for i in range(n_jitter):
+            noisy = self._noise(sel_strips)
+            with self.timer.time("ocr"):
+                res = self.ocr.query(noisy)
+            jitter_images[i, sel_rows] = noisy
+            jitter_labels[i, sel_rows] = res.labels
+            jitter_lengths[i, sel_rows] = res.lengths
+
+        with self.timer.time("phase_a"):
+            self.crnn_state, loss = self.steps.phase_a(
+                self.crnn_state, strips, jnp.asarray(flat_bb),
+                jnp.asarray(hist_labels), jnp.asarray(hist_lengths),
+                jnp.asarray(hist_valid), loss_weights,
+                jnp.asarray(jitter_images), jnp.asarray(jitter_labels),
+                jnp.asarray(jitter_lengths),
+                decaying=(cfg.weightgen_method == "decaying"),
+                inner_limit_skip=cfg.inner_limit_skip)
+        self._last_crnn_loss = float(loss)
+
+    # ------------------------------------------------------------------
+    def _global_select(self, epoch: int):
+        cfg = self.cfg
+        cers = np.asarray(self.cer_table)
+        num = max(1, int(round(
+            (1 - cfg.minibatch_subset_prop) * self.dataset.num_strips)))
+        fn = GLOBAL_METHODS[cfg.minibatch_subset]
+        self.global_bitmap = fn(self._np_rng, cers, num)
+
+    # ------------------------------------------------------------------
+    def _validate(self):
+        cfg = self.cfg
+        D, S = cfg.batch_docs, cfg.max_strips
+        L = self.charmap.max_len
+        agg = dict(crnn_crt=0.0, crnn_cer=0.0, ocr_crt=0.0, ocr_cer=0.0,
+                   match_crt=0.0, match_cer=0.0, loss=0.0)
+        label_count = 0
+        batches = 0
+        bb_calls_before = self.ocr.total_calls
+        for batch in batch_iterator(
+                self.validation_set, D, collate_docs,
+                shuffle=False, drop_last=False):
+            if batch.images.shape[0] != D:
+                continue  # static shapes; tail smaller than D skipped
+            doc_out, strips, dec, dec_len, loss = self.steps.val_forward(
+                self.prep_state, self.crnn_state,
+                jnp.asarray(batch.images), jnp.asarray(batch.bboxes),
+                jnp.asarray(batch.strip_mask),
+                jnp.asarray(batch.gt_labels), jnp.asarray(batch.gt_lengths))
+            N = D * S
+            flat_mask = jnp.asarray(batch.strip_mask.reshape(N))
+            gt = jnp.asarray(batch.gt_labels.reshape(N, L))
+            gt_len = jnp.asarray(batch.gt_lengths.reshape(N))
+            # host OCR on cleaned strips (costed: train_val_bb_calls parity)
+            strips_np = np.asarray(strips)
+            rows = np.nonzero(batch.strip_mask.reshape(N))[0]
+            res = self.ocr.query(strips_np[rows])
+            ocr_labels = np.full((N, L), self.charmap.pad_id, np.int32)
+            ocr_lengths = np.zeros((N,), np.int32)
+            ocr_labels[rows] = res.labels
+            ocr_lengths[rows] = res.lengths
+            ocr_labels = jnp.asarray(ocr_labels)
+            ocr_lengths = jnp.asarray(ocr_lengths)
+            dec_c = dec[:, :L]
+            dec_l = jnp.minimum(dec_len, L)
+            crt, cer, _ = self._compare(dec_c, dec_l, gt, gt_len, flat_mask)
+            t_crt, t_cer, _ = self._compare(
+                ocr_labels, ocr_lengths, gt, gt_len, flat_mask)
+            m_crt, m_cer, _ = self._compare(
+                dec_c, dec_l, ocr_labels, ocr_lengths, flat_mask)
+            agg["crnn_crt"] += float(crt); agg["crnn_cer"] += float(cer)
+            agg["ocr_crt"] += float(t_crt); agg["ocr_cer"] += float(t_cer)
+            agg["match_crt"] += float(m_crt); agg["match_cer"] += float(m_cer)
+            agg["loss"] += float(loss)
+            label_count += len(rows)
+            batches += 1
+        n_docs = max(1, batches * D)
+        lc = max(1, label_count)
+        print(f"Validation Dataset Calls - {label_count}")
+        return dict(
+            crnn_acc=agg["crnn_crt"] / lc,
+            ocr_acc=agg["ocr_crt"] / lc,
+            match_acc=agg["match_crt"] / lc,
+            crnn_cer=agg["crnn_cer"] / n_docs,
+            ocr_cer=agg["ocr_cer"] / n_docs,
+            match_cer=agg["match_cer"] / n_docs,
+            loss=agg["loss"] / max(1, batches),
+            bb_calls=self.ocr.total_calls - bb_calls_before,
+        )
+
+    # ------------------------------------------------------------------
+    def _save_side_jsons(self, epoch: int):
+        self.history.save_json(
+            os.path.join(self.dirs.tracked_labels,
+                         f"tracked_labels_{epoch}.json"),
+            self.dataset.id_to_name)
+        self.history.save_json(
+            os.path.join(self.dirs.tracked_labels, "tracked_labels_current.json"),
+            self.dataset.id_to_name)
+        save_json(self.selected_samples,
+                  os.path.join(self.dirs.selected_samples,
+                               "selected_samples_current.json"))
+        save_json(self.all_cers,
+                  os.path.join(self.dirs.cers, "all_cers.json"))
+
+    def _maybe_optuna(self, accuracy: float, epoch: int):
+        trial = self.cfg.optuna_trial
+        if trial is None:
+            return
+        import optuna
+        trial.report(accuracy, epoch)
+        if trial.should_prune():
+            raise optuna.TrialPruned()

@@ -16,6 +16,7 @@ import jax  # noqa: E402
 # override after import so tests really run on the 8-virtual-device CPU.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
-# Persistent compilation cache: repeated test runs skip recompiles.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# Persistent compilation cache (per-platform dir — mixing CPU and the
+# remote-compiled TPU artifacts triggers AOT machine-feature mismatches).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
