@@ -1,0 +1,126 @@
+"""Patch-training CLI. Flag parity with reference `patch_cli.py:10-156`
+(~31 flags) plus TPU-native additions (--batch_docs, --max_strips,
+--dataset synthetic for hermetic runs).
+
+Run: python -m qea_ocr_tpu.cli.patch_cli --ocr Fake --dataset synthetic ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+
+from qea_ocr_tpu.train.patch_trainer import PatchTrainerConfig, TrainNNPrep
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Trains the Prep (UNet) with the Patch dataset")
+    p.add_argument("--lr_crnn", type=float, default=0.0001,
+                   help="CRNN learning rate")
+    p.add_argument("--scalar", type=float, default=1,
+                   help="scalar multiplying the secondary (MSE-to-white) loss")
+    p.add_argument("--lr_prep", type=float, default=0.00005,
+                   help="prep model learning rate")
+    p.add_argument("--epoch", type=int, default=25, help="number of epochs")
+    p.add_argument("--random_seed", type=int, default=42)
+    p.add_argument("--std", type=int, default=5,
+                   help="gaussian jitter std (divided by 100)")
+    p.add_argument("--inner_limit", type=int, default=2,
+                   help="inner loop iterations")
+    p.add_argument("--inner_limit_skip", action="store_true",
+                   help="first inner loop runs label tracking (no noise)")
+    p.add_argument("--crnn_model", help="CRNN checkpoint to load")
+    p.add_argument("--prep_model", help="Prep checkpoint to load")
+    p.add_argument("--exp_base_path", default=".")
+    p.add_argument("--ocr", default="Tesseract",
+                   help="black-box OCR [Tesseract,EasyOCR,gvision,Fake]")
+    p.add_argument("--random_std", action="store_false", default=True,
+                   help="per-image std drawn from [0, std]")
+    p.add_argument("--minibatch_subset",
+                   choices=["random", "uniformCERglobal", "randomglobal",
+                            "rangeCER", "uniformEntropy", "topKCER"],
+                   help="query-budget selection strategy")
+    p.add_argument("--minibatch_subset_prop", default=0.5, type=float,
+                   help="fraction of samples NOT queried per minibatch")
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--data_base_path", default=".")
+    p.add_argument("--warmup_epochs", type=int, default=0)
+    p.add_argument("--exp_name", default="test_patch")
+    p.add_argument("--exp_id")
+    p.add_argument("--train_subset_size", type=int)
+    p.add_argument("--val_subset_size", type=int)
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--cers_ocr_path", help="CER seed json")
+    p.add_argument("--image_prop", type=float,
+                   help="fraction of images per epoch")
+    p.add_argument("--discount_factor", type=float, default=1)
+    p.add_argument("--update_CRNN", action="store_true",
+                   help="update CRNN during the prep phase too")
+    p.add_argument("--window_size", type=int, default=1)
+    p.add_argument("--query_dim", type=int, default=32)
+    p.add_argument("--emb_dim", type=int, default=256)
+    p.add_argument("--attn_activation", default="sigmoid",
+                   choices=["sigmoid", "softmax", "relu"])
+    p.add_argument("--weightgen_method", default="decaying",
+                   choices=["levenshtein", "self_attention", "decaying"])
+    p.add_argument("--decay_factor", type=float, default=0.7)
+    p.add_argument("--optim_crnn_path", help="(accepted for parity; optimizer "
+                   "state lives inside orbax checkpoints)")
+    p.add_argument("--optim_prep_path")
+    p.add_argument("--pruning_artifact")
+    # TPU-native
+    p.add_argument("--batch_docs", type=int, default=1,
+                   help="documents per device step (reference fixes 1)")
+    p.add_argument("--max_strips", type=int, default=32)
+    p.add_argument("--dataset", default="patch", choices=["patch", "synthetic"])
+    p.add_argument("--synthetic_train_docs", type=int, default=32)
+    p.add_argument("--synthetic_val_docs", type=int, default=8)
+    p.add_argument("--use_wandb", action="store_true")
+    return p
+
+
+def config_from_args(args) -> PatchTrainerConfig:
+    return PatchTrainerConfig(
+        lr_crnn=args.lr_crnn, lr_prep=args.lr_prep, scalar=args.scalar,
+        epochs=args.epoch, random_seed=args.random_seed, std=args.std,
+        inner_limit=args.inner_limit, inner_limit_skip=args.inner_limit_skip,
+        crnn_model=args.crnn_model, prep_model=args.prep_model,
+        exp_base_path=args.exp_base_path, ocr=args.ocr,
+        random_std=args.random_std, minibatch_subset=args.minibatch_subset,
+        minibatch_subset_prop=args.minibatch_subset_prop,
+        start_epoch=args.start_epoch, data_base_path=args.data_base_path,
+        warmup_epochs=args.warmup_epochs, exp_name=args.exp_name,
+        train_subset_size=args.train_subset_size,
+        val_subset_size=args.val_subset_size, weight_decay=args.weight_decay,
+        cers_ocr_path=args.cers_ocr_path, image_prop=args.image_prop,
+        discount_factor=args.discount_factor, update_CRNN=args.update_CRNN,
+        window_size=args.window_size, query_dim=args.query_dim,
+        emb_dim=args.emb_dim, attn_activation=args.attn_activation,
+        weightgen_method=args.weightgen_method, decay_factor=args.decay_factor,
+        pruning_artifact=args.pruning_artifact, batch_docs=args.batch_docs,
+        max_strips=args.max_strips, dataset=args.dataset,
+        synthetic_train_docs=args.synthetic_train_docs,
+        synthetic_val_docs=args.synthetic_val_docs, use_wandb=args.use_wandb,
+    )
+
+
+def main(argv=None):
+    from qea_ocr_tpu.utils.platform import setup_platform
+    setup_platform()
+    args = build_parser().parse_args(argv)
+    print("Training Arguments")
+    print(args)
+    cfg = config_from_args(args)
+    trainer = TrainNNPrep(cfg)
+    start = datetime.datetime.now()
+    trainer.train()
+    end = datetime.datetime.now()
+    with open(os.path.join(args.exp_base_path, "params.txt"), "w") as f:
+        f.write(f"{start}\n{args}\n{end}\n")
+
+
+if __name__ == "__main__":
+    main()

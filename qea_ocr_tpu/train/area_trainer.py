@@ -1,0 +1,489 @@
+"""Budget-aware textarea (word-crop) preprocessor trainer.
+
+Capability parity with reference `train_nn_area.py:30-413` (SURVEY.md §3.2):
+the same two-phase algorithm as the patch trainer, but the dataset yields
+batches of pre-cropped word images (default 64), the UNet runs directly on
+(B, 1, 32, 128) crops, selection operates per minibatch, and an optional
+cosine LR schedule steps per epoch (`train_nn_area.py:156-161,313-315`).
+
+Reuses the patch phase-A step (it is text-stack-agnostic) and a dedicated
+phase-B that fuses UNet fwd + CRNN(frozen BN) + CTC(GT) + MSE(white) with
+the device CER/entropy table update.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from types import SimpleNamespace
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qea_ocr_tpu import config as C
+from qea_ocr_tpu.data.datasets import ImgDataset, SyntheticWordDataset
+from qea_ocr_tpu.data.pipeline import batch_iterator, collate_words
+from qea_ocr_tpu.models import CRNN, HistoryAttention, UNet
+from qea_ocr_tpu.ocr.base import get_ocr_helper
+from qea_ocr_tpu.ocr.engine import OcrQueryEngine
+from qea_ocr_tpu.ops.ctc import ctc_loss_mean, greedy_decode
+from qea_ocr_tpu.ops.edit_distance import cer_from_labels, compare_labels_device
+from qea_ocr_tpu.ops.entropy import mean_sequence_entropy
+from qea_ocr_tpu.selection import GLOBAL_METHODS, is_global, membership_mask, select_batch
+from qea_ocr_tpu.tracking import (
+    LabelHistory,
+    attention_weights,
+    decaying_weights,
+    levenshtein_weights,
+    weightgenerator_factory,
+)
+from qea_ocr_tpu.train.crnn_trainer import scrub_nonfinite
+from qea_ocr_tpu.train.patch_steps import make_steps
+from qea_ocr_tpu.train.state import ModelState, adam_l2, cosine_lr, set_learning_rate
+from qea_ocr_tpu.utils.charmap import CharMap
+from qea_ocr_tpu.utils.io import ExpDirs, load_json, save_checkpoint, save_image_png, save_json
+from qea_ocr_tpu.utils.metrics import MetricsLogger, StepTimer
+
+
+@dataclasses.dataclass
+class AreaTrainerConfig:
+    # reference flag surface (area_cli.py:10-124)
+    batch_size: int = 64
+    lr_crnn: float = 1e-4
+    lr_prep: float = 5e-5
+    scalar: float = 1.0
+    epochs: int = 25
+    random_seed: int = 42
+    std: int = 5
+    inner_limit: int = 2
+    inner_limit_skip: bool = False
+    crnn_model: Optional[str] = None
+    prep_model: Optional[str] = None
+    exp_base_path: str = "."
+    ocr: str = "Tesseract"
+    dataset: str = "pos"                 # pos | vgg | synthetic
+    random_std: bool = True
+    minibatch_subset: Optional[str] = None
+    minibatch_subset_prop: float = 0.5
+    start_epoch: int = 0
+    data_base_path: str = "."
+    warmup_epochs: int = 0
+    train_subset_size: Optional[int] = None
+    val_subset_size: Optional[int] = None
+    cers_ocr_path: Optional[str] = None
+    update_CRNN: bool = False
+    window_size: int = 1
+    query_dim: int = 32
+    emb_dim: int = 256
+    attn_activation: str = "sigmoid"
+    weightgen_method: str = "decaying"
+    decay_factor: float = 0.7
+    discount_factor: float = 1.0
+    lr_scheduler: Optional[str] = None   # None | "cosine"
+    # TPU-native additions
+    synthetic_train_size: int = 128
+    synthetic_val_size: int = 32
+    corruption: Optional[dict] = None
+    lstm_hidden: int = 256
+    unet_features: int = 32
+    use_wandb: bool = False
+    optuna_trial: object = None
+
+
+def make_area_steps(prep_model, crnn_model, charmap, *, sec_loss_scalar=1.0):
+    pad_id = charmap.pad_id
+    max_len = charmap.max_len
+
+    @jax.jit
+    def prep_forward(prep_state, images):
+        out = prep_model.apply(prep_state.variables, images, train=False)
+        return jax.lax.stop_gradient(out)
+
+    @partial(jax.jit, static_argnames=("update_crnn",), donate_argnums=(4, 5))
+    def phase_b(prep_state, crnn_state, images, gt_labels, cer_table,
+                ent_table, gt_lengths, strip_ids, *, update_crnn: bool):
+        B = images.shape[0]
+
+        def loss_fn(prep_params, crnn_params):
+            img_out, prep_updates = prep_model.apply(
+                {"params": prep_params, "batch_stats": prep_state.batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            scores = crnn_model.apply(
+                {"params": crnn_params, "batch_stats": crnn_state.batch_stats},
+                img_out, train=False)
+            pri = ctc_loss_mean(scores, gt_labels, gt_lengths, pad_id=pad_id)
+            sec = jnp.mean((img_out - 1.0) ** 2) * sec_loss_scalar
+            return pri + sec, (img_out, scores, prep_updates["batch_stats"])
+
+        (loss, (img_out, scores, new_bs)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+            prep_state.params, crnn_state.params)
+        prep_grads, crnn_grads = grads
+        new_prep = prep_state.apply_gradients(
+            scrub_nonfinite(prep_grads)).replace(batch_stats=new_bs)
+        new_crnn = (crnn_state.apply_gradients(scrub_nonfinite(crnn_grads))
+                    if update_crnn else crnn_state)
+
+        dec, dec_len = greedy_decode(scores, pad_id=pad_id)
+        cers = cer_from_labels(dec[:, :max_len], jnp.minimum(dec_len, max_len),
+                               gt_labels, gt_lengths)
+        new_cer = cer_table.at[strip_ids].set(cers)
+        new_ent = ent_table.at[strip_ids].set(mean_sequence_entropy(scores))
+        return new_prep, new_crnn, img_out, dict(loss=loss, cers=cers), new_cer, new_ent
+
+    @jax.jit
+    def val_forward(prep_state, crnn_state, images, gt_labels, gt_lengths):
+        img_out = prep_model.apply(prep_state.variables, images, train=False)
+        scores = crnn_model.apply(crnn_state.variables, img_out, train=False)
+        loss = ctc_loss_mean(scores, gt_labels, gt_lengths, pad_id=pad_id)
+        loss = loss + jnp.mean((img_out - 1.0) ** 2) * sec_loss_scalar
+        dec, dec_len = greedy_decode(scores, pad_id=pad_id)
+        return img_out, dec, dec_len, loss
+
+    return SimpleNamespace(prep_forward=prep_forward, phase_b=phase_b,
+                           val_forward=val_forward)
+
+
+class TrainNNPrepArea:
+    def __init__(self, cfg: AreaTrainerConfig):
+        self.cfg = cfg
+        self.charmap = CharMap.default()
+        self.dirs = ExpDirs(cfg.exp_base_path).create()
+        np.random.seed(cfg.random_seed)
+        self._np_rng = np.random.default_rng(cfg.random_seed)
+        self._key = jax.random.PRNGKey(cfg.random_seed)
+
+        if cfg.dataset == "synthetic":
+            self.train_ds = SyntheticWordDataset(
+                cfg.synthetic_train_size, seed=cfg.random_seed,
+                corruption=cfg.corruption)
+            self.val_ds = SyntheticWordDataset(
+                cfg.synthetic_val_size, seed=cfg.random_seed + 1,
+                corruption=cfg.corruption)
+        else:
+            split = {"pos": (C.POS_TEXT_TRAIN, C.POS_TEXT_DEV),
+                     "vgg": (C.VGG_TEXT_TRAIN, C.VGG_TEXT_DEV)}[cfg.dataset]
+            self.train_ds = ImgDataset(
+                os.path.join(cfg.data_base_path, split[0]),
+                num_subset=cfg.train_subset_size)
+            self.val_ds = ImgDataset(
+                os.path.join(cfg.data_base_path, split[1]),
+                num_subset=cfg.val_subset_size)
+
+        backend = get_ocr_helper(cfg.ocr)
+        if backend is None:
+            raise ValueError(f"unknown OCR backend {cfg.ocr!r}")
+        self.ocr = OcrQueryEngine(backend, self.charmap)
+
+        self.prep_model = UNet(init_features=cfg.unet_features)
+        self.crnn_model = CRNN(vocab_size=self.charmap.vocab_size,
+                               lstm_hidden=cfg.lstm_hidden)
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(cfg.random_seed), 3)
+        prep_vars = self.prep_model.init(
+            k1, jnp.zeros((1, 1, *C.INPUT_SIZE)), train=False)
+        crnn_vars = self.crnn_model.init(
+            k2, jnp.zeros((1, 1, *C.INPUT_SIZE)), train=False)
+        # weight_decay 0: parity with `train_nn_area.py:149-154`
+        self.prep_state = ModelState.create(prep_vars, adam_l2(cfg.lr_prep, 0.0))
+        self.crnn_state = ModelState.create(crnn_vars, adam_l2(cfg.lr_crnn, 0.0))
+        if cfg.prep_model:
+            from qea_ocr_tpu.utils.io import load_checkpoint
+            self.prep_state = load_checkpoint(cfg.prep_model, self.prep_state)
+        if cfg.crnn_model:
+            from qea_ocr_tpu.utils.io import load_checkpoint
+            self.crnn_state = load_checkpoint(cfg.crnn_model, self.crnn_state)
+
+        self.weightgen_method = weightgenerator_factory(cfg.weightgen_method)
+        self.history = LabelHistory(len(self.train_ds), cfg.window_size,
+                                    self.charmap)
+        self.attn_model = self.attn_vars = None
+        if cfg.weightgen_method == "self_attention":
+            self.attn_model = HistoryAttention(
+                char_vocab_size=self.charmap.vocab_size,
+                emb_size=cfg.emb_dim, query_dim=cfg.query_dim,
+                window_size=cfg.window_size, activation=cfg.attn_activation)
+            self.attn_vars = self.attn_model.init(
+                k3, jnp.zeros((1, cfg.window_size, self.charmap.max_len),
+                              jnp.int32))
+
+        n = len(self.train_ds)
+        cers0 = np.ones((n,), np.float32)
+        self.selected_samples: Dict[str, List[bool]] = {}
+        if cfg.cers_ocr_path:
+            seed = load_json(cfg.cers_ocr_path)
+            for name, cer in seed.items():
+                if name in self.train_ds.name_to_id:
+                    cers0[self.train_ds.name_to_id[name]] = cer
+                self.selected_samples[name] = [False] * cfg.epochs
+        self.cer_table = jnp.asarray(cers0)
+        self.ent_table = jnp.ones((n,), jnp.float32)
+        self.all_cers: Dict[str, List[float]] = {}
+        self.global_bitmap = np.zeros((n,), bool)
+
+        # phase A is strip-layout agnostic — reuse the patch step factory.
+        self._patch_steps = make_steps(
+            self.prep_model, self.crnn_model, self.charmap,
+            sec_loss_scalar=cfg.scalar)
+        self.steps = make_area_steps(
+            self.prep_model, self.crnn_model, self.charmap,
+            sec_loss_scalar=cfg.scalar)
+        self.logger = MetricsLogger(cfg.exp_base_path, use_wandb=cfg.use_wandb)
+        self.timer = StepTimer()
+        self._compare = jax.jit(compare_labels_device)
+        self._last_crnn_loss = 0.0
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _noise(self, images):
+        cfg = self.cfg
+        B = images.shape[0]
+        stds = (self._np_rng.integers(0, cfg.std + 1, B) / 100.0
+                if cfg.random_std else np.full(B, cfg.std / 100.0))
+        noise = self._np_rng.normal(0.0, 1.0, images.shape).astype(np.float32)
+        noise *= stds.reshape(B, *([1] * (images.ndim - 1))).astype(np.float32)
+        return np.clip(images - noise, 0.0, 1.0)
+
+    def _gen_weights(self, sel_ids):
+        cfg = self.cfg
+        if cfg.weightgen_method == "decaying":
+            return decaying_weights(cfg.decay_factor, cfg.window_size)
+        labs, lens, valid = self.history.gather(sel_ids)
+        if cfg.weightgen_method == "levenshtein":
+            return levenshtein_weights(jnp.asarray(labs), jnp.asarray(lens),
+                                       jnp.asarray(valid))
+        return attention_weights(self.attn_model.apply, self.attn_vars,
+                                 jnp.asarray(labs), jnp.asarray(valid))
+
+    # ------------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        B = cfg.batch_size
+        L = self.charmap.max_len
+        W = cfg.window_size
+        n_jitter = max(0, cfg.inner_limit - (1 if cfg.inner_limit_skip else 0)) \
+            if cfg.inner_limit else 0
+        best_val_acc, best_val_epoch = 0.0, 0
+        total_crnn_updates = 0
+
+        for epoch in range(cfg.start_epoch, cfg.epochs):
+            if cfg.lr_scheduler == "cosine":
+                self.crnn_state = set_learning_rate(
+                    self.crnn_state, cosine_lr(cfg.lr_crnn, epoch, cfg.epochs))
+            if is_global(cfg.minibatch_subset):
+                num = max(1, int(round((1 - cfg.minibatch_subset_prop)
+                                       * len(self.train_ds))))
+                self.global_bitmap = GLOBAL_METHODS[cfg.minibatch_subset](
+                    self._np_rng, np.asarray(self.cer_table), num)
+            self.ocr.reset_epoch()
+            training_loss, steps = 0.0, 0
+            crnn_loss_acc = 0.0
+            epoch_crnn_updates = 0
+            epoch_print = True
+            last_img_out = None
+
+            for batch in batch_iterator(
+                    self.train_ds, B, partial(collate_words, charmap=self.charmap),
+                    seed=cfg.random_seed, epoch=epoch):
+                images = jnp.asarray(batch.images)
+                img_preds = self.steps.prep_forward(self.prep_state, images)
+
+                # ------------- selection ------------------------------
+                ids = jnp.asarray(batch.strip_ids)
+                valid = jnp.ones((1, B), bool)
+                if (not cfg.minibatch_subset) or epoch < cfg.warmup_epochs:
+                    bb_mask = np.ones((B,), bool)
+                elif is_global(cfg.minibatch_subset):
+                    bb_mask = np.asarray(membership_mask(
+                        ids, jnp.asarray(self.global_bitmap)))
+                else:
+                    est_table = (self.ent_table
+                                 if cfg.minibatch_subset == "uniformEntropy"
+                                 else self.cer_table)
+                    m, _ = select_batch(
+                        cfg.minibatch_subset, self._next_key(),
+                        est_table[ids][None], valid,
+                        cfg.minibatch_subset_prop)
+                    bb_mask = np.asarray(m[0])
+                sel_rows = np.nonzero(bb_mask)[0]
+                sel_ids = batch.strip_ids[sel_rows]
+                if epoch_print:
+                    print(f"Total Samples - {B}")
+                    print(f"OCR Samples - {len(sel_rows)}")
+                    epoch_print = False
+                for r in sel_rows:
+                    self.selected_samples.setdefault(
+                        batch.names[r], [False] * cfg.epochs)[epoch] = True
+
+                # ------------- phase A --------------------------------
+                if cfg.inner_limit:
+                    self._phase_a(batch, img_preds, bb_mask, sel_rows,
+                                  sel_ids, n_jitter, B, L, W)
+                    total_crnn_updates += 1
+                    epoch_crnn_updates += 1
+                    crnn_loss_acc += self._last_crnn_loss
+
+                # ------------- phase B --------------------------------
+                (self.prep_state, self.crnn_state, img_out, metrics,
+                 self.cer_table, self.ent_table) = self.steps.phase_b(
+                    self.prep_state, self.crnn_state, images,
+                    jnp.asarray(batch.labels), self.cer_table, self.ent_table,
+                    jnp.asarray(batch.lengths), ids,
+                    update_crnn=cfg.update_CRNN)
+                training_loss += float(metrics["loss"])
+                steps += 1
+                last_img_out = img_out
+                if cfg.minibatch_subset:
+                    cers_np = np.asarray(metrics["cers"])
+                    for r in range(B):
+                        self.all_cers.setdefault(
+                            batch.names[r], []).append(float(cers_np[r]))
+
+            if cfg.minibatch_subset:
+                self._save_side_jsons(epoch)
+
+            val = self._validate()
+            metrics_out = {
+                "CRNN_accuracy": val["crnn_acc"],
+                f"{cfg.ocr}_accuracy": val["ocr_acc"],
+                "CRNN_CER": val["crnn_cer"],
+                f"{cfg.ocr}_cer": val["ocr_cer"],
+                "Epoch": epoch + 1,
+                "train_loss": training_loss / max(1, steps),
+                "val_loss": val["loss"],
+                "Total Black-Box Calls": self.ocr.total_calls,
+                "Black-Box Calls": self.ocr.epoch_calls,
+                "Total CRNN Updates": total_crnn_updates,
+                "CRNN Updates": epoch_crnn_updates,
+                "CRNN_loss": crnn_loss_acc / max(1, self.ocr.epoch_calls),
+                "CRNN_OCR_Matching_ACC": val["match_acc"],
+                "CRNN_OCR_Matching_CER": val["match_cer"],
+            }
+            self.logger.log(metrics_out)
+            if last_img_out is not None:
+                save_image_png(np.asarray(last_img_out[0]),
+                               os.path.join(self.dirs.img_out, f"out_{epoch}.png"))
+            ocr_acc = val["ocr_acc"]
+            prep_path = os.path.join(
+                self.dirs.ckpts, f"Prep_model_{epoch}_{ocr_acc * 100:.2f}")
+            save_checkpoint(prep_path, self.prep_state)
+            save_checkpoint(os.path.join(self.dirs.ckpts, f"CRNN_model_{epoch}"),
+                            self.crnn_state)
+            if ocr_acc > best_val_acc:
+                best_val_acc, best_val_epoch = ocr_acc, epoch
+                save_checkpoint(os.path.join(self.dirs.ckpts, "Prep_model_best"),
+                                self.prep_state)
+                self.logger.update_summary({"best_val_acc": best_val_acc,
+                                            "best_val_epoch": best_val_epoch})
+            self._maybe_optuna(ocr_acc * 100, epoch)
+        print("Training Completed.")
+        return best_val_acc, best_val_epoch
+
+    # ------------------------------------------------------------------
+    def _phase_a(self, batch, img_preds, bb_mask, sel_rows, sel_ids,
+                 n_jitter, B, L, W):
+        cfg = self.cfg
+        preds_np = np.asarray(img_preds)
+        sel_imgs = preds_np[sel_rows]
+
+        hist_labels = np.full((B, W, L), self.charmap.pad_id, np.int32)
+        hist_lengths = np.zeros((B, W), np.int32)
+        hist_valid = np.zeros((B, W), bool)
+        if cfg.inner_limit_skip:
+            res = self.ocr.query(sel_imgs)
+            lw = self._gen_weights(sel_ids)
+            if cfg.weightgen_method == "decaying":
+                loss_weights = lw
+            else:
+                full = np.zeros((B, W + 1), np.float32)
+                full[sel_rows] = np.asarray(lw)
+                loss_weights = jnp.asarray(full)
+            self.history.add(sel_ids, res.labels, res.lengths, res.texts)
+            labs, lens, valid = self.history.gather(sel_ids)
+            hist_labels[sel_rows] = labs
+            hist_lengths[sel_rows] = lens
+            hist_valid[sel_rows] = valid
+        else:
+            loss_weights = decaying_weights(cfg.decay_factor, W)
+
+        jitter_images = np.ones((n_jitter, *preds_np.shape), np.float32)
+        jitter_labels = np.full((n_jitter, B, L), self.charmap.pad_id, np.int32)
+        jitter_lengths = np.zeros((n_jitter, B), np.int32)
+        for i in range(n_jitter):
+            noisy = self._noise(sel_imgs)
+            res = self.ocr.query(noisy)
+            jitter_images[i, sel_rows] = noisy
+            jitter_labels[i, sel_rows] = res.labels
+            jitter_lengths[i, sel_rows] = res.lengths
+
+        self.crnn_state, loss = self._patch_steps.phase_a(
+            self.crnn_state, img_preds, jnp.asarray(bb_mask),
+            jnp.asarray(hist_labels), jnp.asarray(hist_lengths),
+            jnp.asarray(hist_valid), loss_weights,
+            jnp.asarray(jitter_images), jnp.asarray(jitter_labels),
+            jnp.asarray(jitter_lengths),
+            decaying=(cfg.weightgen_method == "decaying"),
+            inner_limit_skip=cfg.inner_limit_skip)
+        self._last_crnn_loss = float(loss)
+
+    # ------------------------------------------------------------------
+    def _validate(self):
+        cfg = self.cfg
+        B = cfg.batch_size
+        L = self.charmap.max_len
+        agg = dict(crnn_crt=0.0, crnn_cer=0.0, ocr_crt=0.0, ocr_cer=0.0,
+                   match_crt=0.0, match_cer=0.0, loss=0.0)
+        count, batches = 0, 0
+        for batch in batch_iterator(
+                self.val_ds, B, partial(collate_words, charmap=self.charmap),
+                shuffle=False, drop_last=True):
+            img_out, dec, dec_len, loss = self.steps.val_forward(
+                self.prep_state, self.crnn_state, jnp.asarray(batch.images),
+                jnp.asarray(batch.labels), jnp.asarray(batch.lengths))
+            res = self.ocr.query(np.asarray(img_out))
+            ocr_labels = jnp.asarray(res.labels)
+            ocr_lengths = jnp.asarray(res.lengths)
+            gt = jnp.asarray(batch.labels)
+            gt_len = jnp.asarray(batch.lengths)
+            dec_c, dec_l = dec[:, :L], jnp.minimum(dec_len, L)
+            crt, cer, _ = self._compare(dec_c, dec_l, gt, gt_len, None)
+            t_crt, t_cer, _ = self._compare(ocr_labels, ocr_lengths, gt, gt_len, None)
+            m_crt, m_cer, _ = self._compare(dec_c, dec_l, ocr_labels, ocr_lengths, None)
+            agg["crnn_crt"] += float(crt); agg["crnn_cer"] += float(cer)
+            agg["ocr_crt"] += float(t_crt); agg["ocr_cer"] += float(t_cer)
+            agg["match_crt"] += float(m_crt); agg["match_cer"] += float(m_cer)
+            agg["loss"] += float(loss)
+            count += B
+            batches += 1
+        n = max(1, count)
+        return dict(
+            crnn_acc=agg["crnn_crt"] / n, ocr_acc=agg["ocr_crt"] / n,
+            match_acc=agg["match_crt"] / n, crnn_cer=agg["crnn_cer"] / n,
+            ocr_cer=agg["ocr_cer"] / n, match_cer=agg["match_cer"] / n,
+            loss=agg["loss"] / max(1, batches))
+
+    def _save_side_jsons(self, epoch):
+        self.history.save_json(
+            os.path.join(self.dirs.tracked_labels, f"tracked_labels_{epoch}.json"),
+            dict(enumerate(self.train_ds.names)))
+        self.history.save_json(
+            os.path.join(self.dirs.tracked_labels, "tracked_labels_current.json"),
+            dict(enumerate(self.train_ds.names)))
+        save_json(self.selected_samples,
+                  os.path.join(self.dirs.selected_samples,
+                               "selected_samples_current.json"))
+        save_json(self.all_cers, os.path.join(self.dirs.cers, "all_cers.json"))
+
+    def _maybe_optuna(self, accuracy, epoch):
+        trial = self.cfg.optuna_trial
+        if trial is None:
+            return
+        import optuna
+        trial.report(accuracy, epoch)
+        if trial.should_prune():
+            raise optuna.TrialPruned()

@@ -1,0 +1,29 @@
+"""Platform selection + compilation-cache setup for CLI entry points.
+
+The deployment image's sitecustomize pins JAX_PLATFORMS to the TPU plugin;
+`QEA_PLATFORM=cpu` (optionally with
+`XLA_FLAGS=--xla_force_host_platform_device_count=N`) overrides it for
+hermetic CPU runs. A per-platform persistent compilation cache avoids
+recompiles across invocations.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def setup_platform(cache_root: str | None = None) -> None:
+    import jax
+
+    plat = os.environ.get("QEA_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    cache_root = cache_root or os.environ.get(
+        "QEA_COMPILE_CACHE", os.path.join(os.getcwd(), ".jax_cache"))
+    name = plat or "default"
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(cache_root, name))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
