@@ -1,0 +1,136 @@
+"""Benchmark harness (driver contract: ONE JSON line on stdout).
+
+Metric: patch-training documents/sec/chip for the full two-phase step
+(phase A proxy update + phase B prep update) at production shapes —
+(400, 512) documents, 16 strip slots, UNet-32 + CRNN-256 — excluding the
+black-box OCR on both sides (it is host-bound and engine-dependent).
+
+Baseline denominator: the PyTorch reference-shaped step (batch = 1 document,
+per-strip crop loop, `benchmarks/torch_baseline.py`) on this host, because
+the reference publishes no throughput numbers (BASELINE.md).
+
+All diagnostics go to stderr; stdout carries exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_tpu(n_steps: int = 10, D: int = 8, S: int = 16) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from qea_ocr_tpu import config as C
+    from qea_ocr_tpu.train.patch_steps import make_steps
+    from qea_ocr_tpu.train.state import ModelState, adam_l2
+    from qea_ocr_tpu.models import CRNN, UNet
+    from qea_ocr_tpu.tracking import decaying_weights
+    from qea_ocr_tpu.utils.charmap import CharMap
+
+    doc_size = C.DOC_SIZE
+    cm = CharMap.default()
+    L = cm.max_len
+    W = 1
+    N = D * S
+    prep = UNet()
+    crnn = CRNN(vocab_size=cm.vocab_size)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    prep_state = ModelState.create(
+        prep.init(k1, jnp.zeros((1, 1, *doc_size)), train=False),
+        adam_l2(5e-5, 5e-4))
+    crnn_state = ModelState.create(
+        crnn.init(k2, jnp.zeros((1, 1, *C.INPUT_SIZE)), train=False),
+        adam_l2(1e-4, 5e-4))
+    steps = make_steps(prep, crnn, cm)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((D, 1, *doc_size), dtype=np.float32))
+    bboxes = np.zeros((D, S, 4), np.int32)
+    bboxes[..., 0] = rng.integers(0, 380, (D, S))
+    bboxes[..., 1] = rng.integers(0, 360, (D, S))
+    bboxes[..., 2] = bboxes[..., 0] + rng.integers(16, 127, (D, S))
+    bboxes[..., 3] = bboxes[..., 1] + rng.integers(10, 31, (D, S))
+    bboxes = jnp.asarray(bboxes)
+    strip_mask = jnp.ones((D, S), bool)
+    gt_labels = jnp.asarray(
+        np.where(np.arange(L)[None, None] < 8,
+                 rng.integers(1, cm.vocab_size, (D, S, L)), cm.pad_id)
+        .astype(np.int32))
+    gt_lengths = jnp.full((D, S), 8, jnp.int32)
+    strip_ids = jnp.arange(N, dtype=jnp.int32).reshape(D, S)
+    cer_table = jnp.ones((N,), jnp.float32)
+    ent_table = jnp.ones((N,), jnp.float32)
+    hist_labels = jnp.broadcast_to(
+        gt_labels.reshape(N, 1, L), (N, W, L))
+    hist_lengths = jnp.full((N, W), 8, jnp.int32)
+    hist_valid = jnp.ones((N, W), bool)
+    lw = decaying_weights(0.7, W)
+    bb_mask = jnp.ones((N,), bool)
+
+    def one_step(prep_state, crnn_state, cer_table, ent_table):
+        _, strips = steps.prep_extract(prep_state, images, bboxes)
+        crnn_state, loss_a = steps.phase_a(
+            crnn_state, strips, bb_mask, hist_labels, hist_lengths,
+            hist_valid, lw, strips[None], hist_labels[:, 0][None],
+            hist_lengths[:, 0][None], decaying=True, inner_limit_skip=True)
+        prep_state, crnn_state, doc_out, metrics, cer_table, ent_table = \
+            steps.phase_b(prep_state, crnn_state, images, bboxes, strip_mask,
+                          gt_labels, cer_table, ent_table, gt_lengths,
+                          strip_ids, update_crnn=False)
+        return prep_state, crnn_state, cer_table, ent_table, metrics["loss"]
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    prep_state, crnn_state, cer_table, ent_table, loss = one_step(
+        prep_state, crnn_state, cer_table, ent_table)
+    jax.block_until_ready(loss)
+    log(f"compile+first step: {time.perf_counter() - t0:.1f}s "
+        f"(device={jax.devices()[0].device_kind})")
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        prep_state, crnn_state, cer_table, ent_table, loss = one_step(
+            prep_state, crnn_state, cer_table, ent_table)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    dps = n_steps * D / dt
+    log(f"TPU: {n_steps} steps x {D} docs in {dt:.2f}s -> {dps:.2f} docs/s")
+    return dps
+
+
+def run_torch_baseline() -> float:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.torch_baseline import run_baseline
+    dps = run_baseline(n_docs=3, strips_per_doc=16, warmup=1)
+    log(f"torch baseline ({os.environ.get('BENCH_BASELINE_DEVICE', 'cpu')}): "
+        f"{dps:.3f} docs/s")
+    return dps
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    tpu_dps = run_tpu()
+    try:
+        base_dps = run_torch_baseline()
+    except Exception as e:  # torch missing or baseline failure
+        log(f"baseline failed: {e!r}")
+        base_dps = None
+    vs = (tpu_dps / base_dps) if base_dps else None
+    print(json.dumps({
+        "metric": "patch_train_docs_per_sec_per_chip",
+        "value": round(tpu_dps, 3),
+        "unit": "docs/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
