@@ -483,7 +483,10 @@ class TrainNNPrepArea:
         trial = self.cfg.optuna_trial
         if trial is None:
             return
-        import optuna
         trial.report(accuracy, epoch)
         if trial.should_prune():
-            raise optuna.TrialPruned()
+            try:
+                import optuna
+                raise optuna.TrialPruned()
+            except ImportError:
+                raise RuntimeError("optuna trial pruned")

@@ -557,11 +557,14 @@ class TrainNNPrep:
         save_json(self.all_cers,
                   os.path.join(self.dirs.cers, "all_cers.json"))
 
-    def _maybe_optuna(self, accuracy: float, epoch: int):
+    def _maybe_optuna(self, accuracy, epoch):
         trial = self.cfg.optuna_trial
         if trial is None:
             return
-        import optuna
         trial.report(accuracy, epoch)
         if trial.should_prune():
-            raise optuna.TrialPruned()
+            try:
+                import optuna
+                raise optuna.TrialPruned()
+            except ImportError:
+                raise RuntimeError("optuna trial pruned")

@@ -1,0 +1,85 @@
+"""Offline tooling tests: CER-seed generation, CER analysis/split, pruning
+CLI, sweep fallback."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from qea_ocr_tpu.utils.charmap import CharMap
+
+
+class TestCerSeed:
+    def test_seed_patch_synthetic(self, tmp_path):
+        from qea_ocr_tpu.tools.cer_seed import main
+        out = tmp_path / "cers.json"
+        main(["--mode", "patch", "--dataset", "synthetic", "--ocr", "Fake",
+              "--synthetic_size", "3", "--max_strips", "4", "--out", str(out)])
+        cers = json.loads(out.read_text())
+        assert cers and all(0.0 <= v for v in cers.values())
+        # reference key format {j}_{label}_{folder}_{file}
+        key = next(iter(cers))
+        assert len(key.split("_")) >= 3
+
+    def test_seed_area_synthetic(self, tmp_path):
+        from qea_ocr_tpu.tools.cer_seed import main
+        out = tmp_path / "cers_area.json"
+        main(["--mode", "area", "--dataset", "synthetic", "--ocr", "Fake",
+              "--synthetic_size", "8", "--out", str(out)])
+        cers = json.loads(out.read_text())
+        assert len(cers) == 8
+
+
+class TestCerAnalysis:
+    def test_summary_and_split(self, tmp_path):
+        from qea_ocr_tpu.tools.cer_analysis import (
+            cer_summary, split_by_threshold)
+        from qea_ocr_tpu.pruning.prune import doc_mean_cers
+        strips = {f"{j}_L_f_d{i}": 0.1 * i for i in range(5) for j in range(2)}
+        docs = doc_mean_cers(strips)
+        s = cer_summary(docs)
+        assert s["count"] == 5
+        easy, hard = split_by_threshold(docs, 0.15)
+        assert len(easy) == 2 and len(hard) == 3
+
+    def test_copy_split(self, tmp_path):
+        from qea_ocr_tpu.tools.cer_analysis import copy_split
+        src = tmp_path / "src" / "f"
+        src.mkdir(parents=True)
+        for i in range(3):
+            (src / f"d{i}.png").write_bytes(b"fake")
+            (src / f"d{i}.json").write_text("[]")
+        out = tmp_path / "out"
+        copied = copy_split(str(tmp_path / "src"), str(out),
+                            easy=["f_d0"], hard=["f_d1", "f_d2"])
+        assert copied == dict(easy=1, hard=2)
+        assert (out / "easy" / "d0.png").exists()
+        assert (out / "hard" / "d2.json").exists()
+
+
+class TestPruneCli:
+    def test_artifact_roundtrip(self, tmp_path):
+        from qea_ocr_tpu.tools.prune_cli import main
+        cers = {f"0_X_f_d{i}": i / 10 for i in range(6)}
+        src = tmp_path / "cers.json"
+        src.write_text(json.dumps(cers))
+        main(["--cers", str(src), "--method", "topk", "--num_samples", "2",
+              "--out_dir", str(tmp_path), "--artifact_name", "art"])
+        art = json.loads((tmp_path / "art.json").read_text())
+        assert set(art) == {"f_d5", "f_d4"}
+
+
+class TestSweepFallback:
+    def test_random_search_crnn(self, tmp_path):
+        from qea_ocr_tpu.sweeps import sweep
+        result = sweep.run_sweep(
+            "crnn", n_trials=1, storage=None, study_name="t",
+            acc_floor=0.0, warmup_epochs=0,
+            base_kwargs=dict(
+                epochs=1, ocr="Fake", dataset="synthetic",
+                synthetic_train_size=16, synthetic_val_size=8,
+                lstm_hidden=32, batch_size=8,
+                corruption=dict(noise_std=0.02, shading=0.0, salt_pepper=0.0),
+                crnn_model_path=str(tmp_path / "m")))
+        assert "best_params" in result and "lr" in result["best_params"]
