@@ -1,0 +1,87 @@
+"""End-to-end quality validation on the synthetic world (real TPU).
+
+Reproduces the reference experiment pipeline hermetically:
+  1. CRNN warmup on word crops with FakeOCR labels (train_crnn analogue);
+  2. budget-aware patch training at a fixed OCR query budget, loading the
+     warmed-up proxy (train_nn_patch analogue);
+  3. eval_prep on held-out documents: OCR accuracy/CER on cleaned vs
+     original strips.
+
+Success criterion: cleaned-strip OCR accuracy beats original-strip accuracy
+at the end, under the query budget.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CORRUPTION = dict(noise_std=0.18, shading=0.25, salt_pepper=0.01)
+OUT = os.environ.get("QUALITY_OUT", "/tmp/quality_run")
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    t0 = time.time()
+
+    # ---------------- 1. CRNN warmup ------------------------------------
+    from qea_ocr_tpu.train.crnn_trainer import CrnnTrainerConfig, TrainCRNN
+    warm_cfg = CrnnTrainerConfig(
+        batch_size=64, lr=3e-4, epochs=int(os.environ.get("WARM_EPOCHS", 8)),
+        dataset="synthetic",
+        synthetic_train_size=1024, synthetic_val_size=128,
+        corruption=CORRUPTION, ocr="Fake", std=3,
+        crnn_model_path=os.path.join(OUT, "crnn/model"),
+        log_dir=os.path.join(OUT, "crnn"))
+    warm = TrainCRNN(warm_cfg)
+    best_acc, best_epoch = warm.train()
+    print(f"[warmup] best CRNN-vs-OCR acc {best_acc:.3f} @ {best_epoch} "
+          f"({time.time() - t0:.0f}s)", flush=True)
+    import glob
+    crnn_ckpts = sorted(glob.glob(os.path.join(OUT, "crnn/model_*")),
+                        key=os.path.getmtime)
+    crnn_ckpt = crnn_ckpts[-1]
+
+    # ---------------- 2. budget-aware patch training --------------------
+    from qea_ocr_tpu.train.patch_trainer import PatchTrainerConfig, TrainNNPrep
+    patch_cfg = PatchTrainerConfig(
+        epochs=int(os.environ.get("PATCH_EPOCHS", 12)),
+        ocr="Fake", dataset="synthetic",
+        synthetic_train_docs=96, synthetic_val_docs=16,
+        synthetic_strips_per_doc=8, max_strips=8, batch_docs=8,
+        corruption=CORRUPTION,
+        minibatch_subset="rangeCER", minibatch_subset_prop=0.75,
+        inner_limit=2, inner_limit_skip=True, window_size=3,
+        weightgen_method="decaying",
+        lr_prep=2e-4, lr_crnn=1e-4,
+        crnn_model=crnn_ckpt,
+        exp_base_path=os.path.join(OUT, "patch"))
+    trainer = TrainNNPrep(patch_cfg)
+    best_acc, best_epoch = trainer.train()
+    print(f"[patch] best OCR acc on cleaned strips {best_acc:.3f} @ epoch "
+          f"{best_epoch}; total bb calls {trainer.ocr.total_calls} "
+          f"({time.time() - t0:.0f}s)", flush=True)
+
+    # ---------------- 3. held-out eval: cleaned vs original -------------
+    from qea_ocr_tpu.eval.eval_prep import EvalPrep, EvalPrepConfig
+    ckpts = sorted(glob.glob(os.path.join(OUT, "patch/ckpts/Prep_model_best")))
+    if not ckpts:
+        ckpts = sorted(glob.glob(os.path.join(OUT, "patch/ckpts/Prep_model_*")),
+                       key=os.path.getmtime)
+    ev = EvalPrep(EvalPrepConfig(
+        prep_path=ckpts[-1], dataset="synthetic_patch", ocr="Fake",
+        synthetic_docs=16, max_strips=8, batch_docs=8,
+        corruption=CORRUPTION, random_seed=1234, show_orig=True))
+    acc, cer = ev.eval()
+    summary = dict(cleaned_acc=acc, cleaned_cer=cer,
+                   best_train_val_acc=best_acc,
+                   total_seconds=round(time.time() - t0, 1))
+    with open(os.path.join(OUT, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print("[summary]", json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
