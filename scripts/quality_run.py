@@ -28,11 +28,14 @@ def main():
 
     # ---------------- 1. CRNN warmup ------------------------------------
     from qea_ocr_tpu.train.crnn_trainer import CrnnTrainerConfig, TrainCRNN
+    # GT-label warmup: on the synthetic world FakeOCR output == GT for
+    # readable strips, and skipping the host OCR makes epochs device-bound,
+    # allowing the thousands of CTC steps a CRNN needs.
     warm_cfg = CrnnTrainerConfig(
-        batch_size=64, lr=3e-4, epochs=int(os.environ.get("WARM_EPOCHS", 8)),
+        batch_size=64, lr=3e-4, epochs=int(os.environ.get("WARM_EPOCHS", 30)),
         dataset="synthetic",
-        synthetic_train_size=1024, synthetic_val_size=128,
-        corruption=CORRUPTION, ocr="Fake", std=3,
+        synthetic_train_size=4096, synthetic_val_size=256,
+        corruption=CORRUPTION, ocr=None, std=3,
         crnn_model_path=os.path.join(OUT, "crnn/model"),
         log_dir=os.path.join(OUT, "crnn"))
     warm = TrainCRNN(warm_cfg)
@@ -47,9 +50,9 @@ def main():
     # ---------------- 2. budget-aware patch training --------------------
     from qea_ocr_tpu.train.patch_trainer import PatchTrainerConfig, TrainNNPrep
     patch_cfg = PatchTrainerConfig(
-        epochs=int(os.environ.get("PATCH_EPOCHS", 12)),
+        epochs=int(os.environ.get("PATCH_EPOCHS", 20)),
         ocr="Fake", dataset="synthetic",
-        synthetic_train_docs=96, synthetic_val_docs=16,
+        synthetic_train_docs=256, synthetic_val_docs=16,
         synthetic_strips_per_doc=8, max_strips=8, batch_docs=8,
         corruption=CORRUPTION,
         minibatch_subset="rangeCER", minibatch_subset_prop=0.75,
