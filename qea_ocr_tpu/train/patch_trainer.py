@@ -100,6 +100,9 @@ class PatchTrainerConfig:
     decay_factor: float = 0.7
     pruning_artifact: Optional[str] = None
     # TPU-native additions
+    async_ocr: bool = False   # pipeline host OCR of batch k+1 over device
+                              # compute of batch k (strips one prep-update
+                              # stale relative to the synchronous reference)
     batch_docs: int = 1
     max_strips: int = 32
     dataset: str = "patch"                 # patch | synthetic
@@ -304,62 +307,38 @@ class TrainNNPrep:
             last_doc_out = None
             last_batch = None
 
+            pending = None
             for batch in batch_iterator(
                     self.dataset, D, collate_docs, seed=cfg.random_seed,
                     epoch=epoch, indices=indices):
-                images = jnp.asarray(batch.images)
-                bboxes = jnp.asarray(batch.bboxes)
-
-                # ---------------- selection + OCR (host boundary) --------
-                with self.timer.time("prep_extract"):
-                    _, strips = self.steps.prep_extract(
-                        self.prep_state, images, bboxes)
-                bb_mask = self._select(batch, epoch)          # (D,S) bool
-                flat_bb = bb_mask.reshape(N)
-                flat_ids = batch.strip_ids.reshape(N)
-                sel_rows = np.nonzero(flat_bb)[0]
-                sel_ids = flat_ids[sel_rows]
-                if epoch_print:
-                    print(f"Total Samples - {int(batch.strip_mask.sum())}")
-                    print(f"OCR Samples - {len(sel_rows)}")
-                    epoch_print = False
-                for d in range(D):
-                    for j in np.nonzero(bb_mask[d])[0]:
-                        name = batch.strip_names[d][j] if j < len(
-                            batch.strip_names[d]) else None
-                        if name is not None:
-                            self.selected_samples.setdefault(
-                                name, [False] * cfg.epochs)[epoch] = True
-
-                if cfg.inner_limit:
-                    self._phase_a(batch, strips, flat_bb, sel_rows, sel_ids,
-                                  n_jitter, N, L, W)
-                    total_crnn_updates += 1
-                    epoch_crnn_updates += 1
-                    crnn_loss_acc += self._last_crnn_loss
-
-                # ---------------- phase B: prep update --------------------
-                with self.timer.time("phase_b"):
-                    (self.prep_state, self.crnn_state, doc_out, metrics,
-                     self.cer_table, self.ent_table) = self.steps.phase_b(
-                        self.prep_state, self.crnn_state, images, bboxes,
-                        jnp.asarray(batch.strip_mask),
-                        jnp.asarray(batch.gt_labels),
-                        self.cer_table, self.ent_table,
-                        jnp.asarray(batch.gt_lengths),
-                        jnp.asarray(batch.strip_ids),
-                        update_crnn=cfg.update_CRNN)
-                training_loss += float(metrics["loss"])
+                work = self._prepare_work(batch, epoch, n_jitter, N,
+                                          epoch_print)
+                epoch_print = False
+                if not cfg.async_ocr:
+                    out = self._process_work(work, n_jitter, N, L, W)
+                else:
+                    # 1-deep pipeline: device processes batch k while the
+                    # host OCRs batch k+1 (submitted in _prepare_work).
+                    out, pending = (
+                        self._process_work(pending, n_jitter, N, L, W)
+                        if pending is not None else None, work)
+                if out is None:
+                    continue
+                stats = out
+                training_loss += stats["loss"]
+                crnn_loss_acc += stats["crnn_loss"]
+                total_crnn_updates += stats["crnn_updates"]
+                epoch_crnn_updates += stats["crnn_updates"]
                 steps += 1
-                last_doc_out, last_batch = doc_out, batch
-
-                if cfg.minibatch_subset:
-                    cers_np = np.asarray(metrics["cers"]).reshape(D, S)
-                    for d in range(D):
-                        for j in np.nonzero(batch.strip_mask[d])[0]:
-                            name = batch.strip_names[d][j]
-                            self.all_cers.setdefault(name, []).append(
-                                float(cers_np[d, j]))
+                last_doc_out, last_batch = stats["doc_out"], stats["batch"]
+            if pending is not None:
+                stats = self._process_work(pending, n_jitter, N, L, W)
+                training_loss += stats["loss"]
+                crnn_loss_acc += stats["crnn_loss"]
+                total_crnn_updates += stats["crnn_updates"]
+                epoch_crnn_updates += stats["crnn_updates"]
+                steps += 1
+                last_doc_out, last_batch = stats["doc_out"], stats["batch"]
 
             if cfg.minibatch_subset:
                 self._save_side_jsons(epoch)
@@ -420,57 +399,132 @@ class TrainNNPrep:
         return best_val_acc, best_val_epoch
 
     # ------------------------------------------------------------------
-    def _phase_a(self, batch: DocBatch, strips, flat_bb, sel_rows, sel_ids,
-                 n_jitter, N, L, W):
-        """OCR + tracking + jitter, then one jitted CRNN update."""
+    def _prepare_work(self, batch: DocBatch, epoch: int, n_jitter: int,
+                      N: int, epoch_print: bool) -> dict:
+        """Extract strips with the CURRENT prep, select the query budget, and
+        issue the black-box OCR (sync query or async submit depending on
+        `async_ocr`). Host-side noise is drawn here so the OCR and phase A
+        see identical jittered images."""
         cfg = self.cfg
-        strips_np = np.asarray(strips)          # (N,1,h,w)
-        sel_strips = strips_np[sel_rows]
+        images = jnp.asarray(batch.images)
+        bboxes = jnp.asarray(batch.bboxes)
+        with self.timer.time("prep_extract"):
+            _, strips = self.steps.prep_extract(self.prep_state, images, bboxes)
+        bb_mask = self._select(batch, epoch)              # (D, S) bool
+        flat_bb = bb_mask.reshape(N)
+        sel_rows = np.nonzero(flat_bb)[0]
+        sel_ids = batch.strip_ids.reshape(N)[sel_rows]
+        if epoch_print:
+            print(f"Total Samples - {int(batch.strip_mask.sum())}")
+            print(f"OCR Samples - {len(sel_rows)}")
+        for d in range(cfg.batch_docs):
+            for j in np.nonzero(bb_mask[d])[0]:
+                if j < len(batch.strip_names[d]):
+                    self.selected_samples.setdefault(
+                        batch.strip_names[d][j],
+                        [False] * cfg.epochs)[epoch] = True
 
-        hist_labels = np.full((N, W, L), self.charmap.pad_id, np.int32)
-        hist_lengths = np.zeros((N, W), np.int32)
-        hist_valid = np.zeros((N, W), bool)
-        loss_weights = None
-        if cfg.inner_limit_skip:
-            with self.timer.time("ocr"):
-                res = self.ocr.query(sel_strips)
-            lw = self._gen_weights(sel_ids)     # pre-update history
-            if cfg.weightgen_method == "decaying":
-                loss_weights = lw
+        work = dict(batch=batch, images=images, bboxes=bboxes, strips=strips,
+                    flat_bb=flat_bb, sel_rows=sel_rows, sel_ids=sel_ids,
+                    clean=None, jitter=[])
+        if cfg.inner_limit and len(sel_rows):
+            strips_np = np.asarray(strips)
+            sel_strips = strips_np[sel_rows]
+            issue = self.ocr.submit if cfg.async_ocr else self.ocr.query
+            if cfg.inner_limit_skip:
+                with self.timer.time("ocr_issue"):
+                    work["clean"] = issue(sel_strips)
+            for _ in range(n_jitter):
+                noisy = self._noise(sel_strips)
+                with self.timer.time("ocr_issue"):
+                    work["jitter"].append((noisy, issue(noisy)))
+        return work
+
+    @staticmethod
+    def _resolve(res_or_future):
+        return (res_or_future.result()
+                if hasattr(res_or_future, "result") else res_or_future)
+
+    def _process_work(self, work: dict, n_jitter: int, N: int, L: int,
+                      W: int) -> dict:
+        """Phase A (consuming OCR results) + phase B for one prepared batch."""
+        cfg = self.cfg
+        batch: DocBatch = work["batch"]
+        strips = work["strips"]
+        sel_rows = work["sel_rows"]
+        sel_ids = work["sel_ids"]
+        crnn_loss = 0.0
+        crnn_updates = 0
+
+        if cfg.inner_limit:
+            strips_np = np.asarray(strips)
+            hist_labels = np.full((N, W, L), self.charmap.pad_id, np.int32)
+            hist_lengths = np.zeros((N, W), np.int32)
+            hist_valid = np.zeros((N, W), bool)
+            if cfg.inner_limit_skip and work["clean"] is not None:
+                with self.timer.time("ocr_wait"):
+                    res = self._resolve(work["clean"])
+                lw = self._gen_weights(sel_ids)     # pre-update history
+                if cfg.weightgen_method == "decaying":
+                    loss_weights = lw
+                else:
+                    full = np.zeros((N, W + 1), np.float32)
+                    full[sel_rows] = np.asarray(lw)
+                    loss_weights = jnp.asarray(full)
+                self.history.add(sel_ids, res.labels, res.lengths, res.texts)
+                labs, lens, valid = self.history.gather(sel_ids)
+                hist_labels[sel_rows] = labs
+                hist_lengths[sel_rows] = lens
+                hist_valid[sel_rows] = valid
             else:
-                full = np.zeros((N, W + 1), np.float32)
-                full[sel_rows] = np.asarray(lw)
-                loss_weights = jnp.asarray(full)
-            self.history.add(sel_ids, res.labels, res.lengths, res.texts)
-            labs, lens, valid = self.history.gather(sel_ids)
-            hist_labels[sel_rows] = labs
-            hist_lengths[sel_rows] = lens
-            hist_valid[sel_rows] = valid
-        else:
-            loss_weights = decaying_weights(cfg.decay_factor, W)
+                loss_weights = decaying_weights(cfg.decay_factor, W)
 
-        jitter_images = np.ones((n_jitter, N, 1, *strips_np.shape[2:]),
-                                np.float32)
-        jitter_labels = np.full((n_jitter, N, L), self.charmap.pad_id, np.int32)
-        jitter_lengths = np.zeros((n_jitter, N), np.int32)
-        for i in range(n_jitter):
-            noisy = self._noise(sel_strips)
-            with self.timer.time("ocr"):
-                res = self.ocr.query(noisy)
-            jitter_images[i, sel_rows] = noisy
-            jitter_labels[i, sel_rows] = res.labels
-            jitter_lengths[i, sel_rows] = res.lengths
+            jitter_images = np.ones((n_jitter, N, 1, *strips_np.shape[2:]),
+                                    np.float32)
+            jitter_labels = np.full((n_jitter, N, L), self.charmap.pad_id,
+                                    np.int32)
+            jitter_lengths = np.zeros((n_jitter, N), np.int32)
+            for i, (noisy, pending) in enumerate(work["jitter"]):
+                with self.timer.time("ocr_wait"):
+                    res = self._resolve(pending)
+                jitter_images[i, sel_rows] = noisy
+                jitter_labels[i, sel_rows] = res.labels
+                jitter_lengths[i, sel_rows] = res.lengths
 
-        with self.timer.time("phase_a"):
-            self.crnn_state, loss = self.steps.phase_a(
-                self.crnn_state, strips, jnp.asarray(flat_bb),
-                jnp.asarray(hist_labels), jnp.asarray(hist_lengths),
-                jnp.asarray(hist_valid), loss_weights,
-                jnp.asarray(jitter_images), jnp.asarray(jitter_labels),
-                jnp.asarray(jitter_lengths),
-                decaying=(cfg.weightgen_method == "decaying"),
-                inner_limit_skip=cfg.inner_limit_skip)
-        self._last_crnn_loss = float(loss)
+            with self.timer.time("phase_a"):
+                self.crnn_state, loss = self.steps.phase_a(
+                    self.crnn_state, strips, jnp.asarray(work["flat_bb"]),
+                    jnp.asarray(hist_labels), jnp.asarray(hist_lengths),
+                    jnp.asarray(hist_valid), loss_weights,
+                    jnp.asarray(jitter_images), jnp.asarray(jitter_labels),
+                    jnp.asarray(jitter_lengths),
+                    decaying=(cfg.weightgen_method == "decaying"),
+                    inner_limit_skip=cfg.inner_limit_skip)
+            crnn_loss = float(loss)
+            crnn_updates = 1
+
+        with self.timer.time("phase_b"):
+            (self.prep_state, self.crnn_state, doc_out, metrics,
+             self.cer_table, self.ent_table) = self.steps.phase_b(
+                self.prep_state, self.crnn_state, work["images"],
+                work["bboxes"], jnp.asarray(batch.strip_mask),
+                jnp.asarray(batch.gt_labels),
+                self.cer_table, self.ent_table,
+                jnp.asarray(batch.gt_lengths),
+                jnp.asarray(batch.strip_ids),
+                update_crnn=cfg.update_CRNN)
+
+        if cfg.minibatch_subset:
+            D, S = cfg.batch_docs, cfg.max_strips
+            cers_np = np.asarray(metrics["cers"]).reshape(D, S)
+            for d in range(D):
+                for j in np.nonzero(batch.strip_mask[d])[0]:
+                    name = batch.strip_names[d][j]
+                    self.all_cers.setdefault(name, []).append(
+                        float(cers_np[d, j]))
+
+        return dict(loss=float(metrics["loss"]), crnn_loss=crnn_loss,
+                    crnn_updates=crnn_updates, doc_out=doc_out, batch=batch)
 
     # ------------------------------------------------------------------
     def _global_select(self, epoch: int):

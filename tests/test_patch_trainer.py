@@ -142,6 +142,18 @@ class TestPatchTrainerVariants:
         assert trainer.global_bitmap.sum() == max(
             1, int(round(0.25 * trainer.dataset.num_strips)))
 
+    def test_async_ocr_pipeline_same_budget(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, minibatch_subset="rangeCER",
+                       minibatch_subset_prop=0.5, async_ocr=True)
+        trainer = TrainNNPrep(cfg)
+        best_acc, _ = trainer.train()
+        # identical budget accounting to the synchronous run
+        assert trainer.ocr.total_calls == 2 * (16 + 6)
+        with open(os.path.join(str(tmp_path), "metrics.jsonl")) as f:
+            recs = [json.loads(l) for l in f]
+        assert len(recs) == 2
+        assert np.isfinite(recs[-1]["train_loss"])
+
     def test_warmup_epochs_full_query(self, tmp_path):
         cfg = tiny_cfg(tmp_path, minibatch_subset="rangeCER",
                        warmup_epochs=1, epochs=1, inner_limit=1,
