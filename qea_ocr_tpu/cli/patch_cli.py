@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                    "state lives inside orbax checkpoints)")
     p.add_argument("--optim_prep_path")
     p.add_argument("--pruning_artifact")
+    p.add_argument("--tracked_labels_path",
+                   help="resume label history from a tracked_labels json")
+    p.add_argument("--profile_dir", help="write a jax.profiler trace here")
     # TPU-native
     p.add_argument("--batch_docs", type=int, default=1,
                    help="documents per device step (reference fixes 1)")
@@ -100,7 +103,9 @@ def config_from_args(args) -> PatchTrainerConfig:
         window_size=args.window_size, query_dim=args.query_dim,
         emb_dim=args.emb_dim, attn_activation=args.attn_activation,
         weightgen_method=args.weightgen_method, decay_factor=args.decay_factor,
-        pruning_artifact=args.pruning_artifact, batch_docs=args.batch_docs,
+        pruning_artifact=args.pruning_artifact,
+        tracked_labels_path=args.tracked_labels_path,
+        profile_dir=args.profile_dir, batch_docs=args.batch_docs,
         max_strips=args.max_strips, dataset=args.dataset,
         synthetic_train_docs=args.synthetic_train_docs,
         synthetic_val_docs=args.synthetic_val_docs, use_wandb=args.use_wandb,

@@ -99,6 +99,8 @@ class PatchTrainerConfig:
     weightgen_method: str = "decaying"
     decay_factor: float = 0.7
     pruning_artifact: Optional[str] = None
+    tracked_labels_path: Optional[str] = None  # resume label history (JSON)
+    profile_dir: Optional[str] = None          # jax.profiler trace output
     # TPU-native additions
     async_ocr: bool = False   # pipeline host OCR of batch k+1 over device
                               # compute of batch k (strips one prep-update
@@ -184,6 +186,9 @@ class TrainNNPrep:
         self.weightgen_method = weightgenerator_factory(cfg.weightgen_method)
         self.history = LabelHistory(
             self.dataset.num_strips, cfg.window_size, self.charmap)
+        if cfg.tracked_labels_path:
+            self.history.load_json(cfg.tracked_labels_path,
+                                   self.dataset.name_to_id)
         self.attn_model = None
         self.attn_vars = None
         if cfg.weightgen_method == "self_attention":
@@ -282,6 +287,11 @@ class TrainNNPrep:
 
     # ------------------------------------------------------------------
     def train(self):
+        from qea_ocr_tpu.utils.metrics import maybe_profile
+        with maybe_profile(self.cfg.profile_dir):
+            return self._train_impl()
+
+    def _train_impl(self):
         cfg = self.cfg
         D, S = cfg.batch_docs, cfg.max_strips
         N = D * S

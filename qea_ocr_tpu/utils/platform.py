@@ -18,6 +18,11 @@ def setup_platform(cache_root: str | None = None) -> None:
     plat = os.environ.get("QEA_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+    # Numerical sanitizer: raise on NaNs inside jitted computations (the
+    # functional counterpart of the reference's NaN-gradient backward hook,
+    # `models/model_crnn.py:30-32`, for debugging CTC instabilities).
+    if os.environ.get("QEA_DEBUG_NANS"):
+        jax.config.update("jax_debug_nans", True)
     cache_root = cache_root or os.environ.get(
         "QEA_COMPILE_CACHE", os.path.join(os.getcwd(), ".jax_cache"))
     name = plat or "default"
