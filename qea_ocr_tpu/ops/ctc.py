@@ -16,9 +16,18 @@ CRNN output; labels are `(B, L)` int32 padded with `pad_id` (== vocab_size);
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import optax
+
+# CTC backend: "optax" (default; XLA-fused lax.scan) or "pallas" (custom
+# alpha/beta recursion kernels, `ops/pallas/ctc_pallas.py`). Switch with
+# QEA_CTC_IMPL=pallas. On one v5e chip at production shapes the optax path
+# measured faster (~1.7 ms vs ~15 ms kernel time for B=512); the Pallas path
+# exists for kernel-level control and larger folded batches.
+CTC_IMPL = os.environ.get("QEA_CTC_IMPL", "optax")
 
 
 def _to_batch_major(scores: jax.Array) -> jax.Array:
@@ -46,6 +55,10 @@ def ctc_loss_samplewise(
 
     Returns: (B,) float32 losses (NLL, not length-normalized).
     """
+    if CTC_IMPL == "pallas" and logit_lengths is None:
+        from qea_ocr_tpu.ops.pallas.ctc_pallas import ctc_loss_pallas
+        return ctc_loss_pallas(
+            scores.astype(jnp.float32), labels, label_lengths, pad_id, blank_id)
     logits = _to_batch_major(scores).astype(jnp.float32)
     B, T, _ = logits.shape
     L = labels.shape[1]
