@@ -105,6 +105,8 @@ class PatchTrainerConfig:
     async_ocr: bool = False   # pipeline host OCR of batch k+1 over device
                               # compute of batch k (strips one prep-update
                               # stale relative to the synchronous reference)
+    data_parallel: bool = False  # shard the document batch over all devices
+                                 # (batch_docs must divide the device count)
     batch_docs: int = 1
     max_strips: int = 32
     dataset: str = "patch"                 # patch | synthetic
@@ -220,6 +222,25 @@ class TrainNNPrep:
         self.steps = make_steps(
             self.prep_model, self.crnn_model, self.charmap,
             sec_loss_scalar=cfg.scalar)
+
+        # Optional GSPMD data parallelism: replicate states, shard batches on
+        # the document axis; XLA partitions the same jitted steps and inserts
+        # the gradient psum from the sharding annotations.
+        self.mesh = None
+        if cfg.data_parallel:
+            from qea_ocr_tpu.parallel import make_mesh, put_replicated
+            self.mesh = make_mesh()
+            n_dev = len(self.mesh.devices.flat)
+            if cfg.batch_docs % n_dev:
+                raise ValueError(
+                    f"batch_docs={cfg.batch_docs} must divide device count "
+                    f"{n_dev} for data_parallel mode")
+            self.prep_state = put_replicated(self.prep_state, self.mesh)
+            self.crnn_state = put_replicated(self.crnn_state, self.mesh)
+            from qea_ocr_tpu.parallel import put_replicated as _pr
+            self.cer_table = _pr(self.cer_table, self.mesh)
+            self.ent_table = _pr(self.ent_table, self.mesh)
+
         self.logger = MetricsLogger(
             cfg.exp_base_path, use_wandb=cfg.use_wandb)
         self.timer = StepTimer()
@@ -418,6 +439,10 @@ class TrainNNPrep:
         cfg = self.cfg
         images = jnp.asarray(batch.images)
         bboxes = jnp.asarray(batch.bboxes)
+        if self.mesh is not None:
+            from qea_ocr_tpu.parallel import put_batch
+            images = put_batch(images, self.mesh)
+            bboxes = put_batch(bboxes, self.mesh)
         with self.timer.time("prep_extract"):
             _, strips = self.steps.prep_extract(self.prep_state, images, bboxes)
         bb_mask = self._select(batch, epoch)              # (D, S) bool

@@ -154,6 +154,20 @@ class TestPatchTrainerVariants:
         assert len(recs) == 2
         assert np.isfinite(recs[-1]["train_loss"])
 
+    def test_data_parallel_8dev(self, tmp_path):
+        """Full trainer on the 8-virtual-device CPU mesh: batch of 8 docs
+        sharded over the data axis, gradients psum'd by GSPMD."""
+        cfg = tiny_cfg(tmp_path, minibatch_subset="rangeCER",
+                       minibatch_subset_prop=0.5, epochs=1,
+                       synthetic_train_docs=8, batch_docs=8,
+                       data_parallel=True)
+        trainer = TrainNNPrep(cfg)
+        assert trainer.mesh is not None
+        best_acc, _ = trainer.train()
+        with open(os.path.join(str(tmp_path), "metrics.jsonl")) as f:
+            rec = json.loads(f.readline())
+        assert np.isfinite(rec["train_loss"])
+
     def test_warmup_epochs_full_query(self, tmp_path):
         cfg = tiny_cfg(tmp_path, minibatch_subset="rangeCER",
                        warmup_epochs=1, epochs=1, inner_limit=1,
