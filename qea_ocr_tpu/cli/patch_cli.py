@@ -74,6 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tracked_labels_path",
                    help="resume label history from a tracked_labels json")
     p.add_argument("--profile_dir", help="write a jax.profiler trace here")
+    p.add_argument("--prep_pretrain_epochs", type=int, default=0,
+                   help="identity/denoise UNet pretraining epochs")
     # TPU-native
     p.add_argument("--batch_docs", type=int, default=1,
                    help="documents per device step (reference fixes 1)")
@@ -105,7 +107,9 @@ def config_from_args(args) -> PatchTrainerConfig:
         weightgen_method=args.weightgen_method, decay_factor=args.decay_factor,
         pruning_artifact=args.pruning_artifact,
         tracked_labels_path=args.tracked_labels_path,
-        profile_dir=args.profile_dir, batch_docs=args.batch_docs,
+        profile_dir=args.profile_dir,
+        prep_pretrain_epochs=args.prep_pretrain_epochs,
+        batch_docs=args.batch_docs,
         max_strips=args.max_strips, dataset=args.dataset,
         synthetic_train_docs=args.synthetic_train_docs,
         synthetic_val_docs=args.synthetic_val_docs, use_wandb=args.use_wandb,

@@ -156,6 +156,25 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
 
     # ------------------------------------------------------------------
     @jax.jit
+    def prep_pretrain_step(prep_state, images):
+        """Identity/denoise pretraining: MSE(prep(x), x). Gives the
+        preprocessor a readable starting point before the budget loop (the
+        reference reaches the same state by loading a --prep_model
+        checkpoint from a prior run)."""
+        def loss_fn(params):
+            out, updates = prep_model.apply(
+                {"params": params, "batch_stats": prep_state.batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            return jnp.mean((out - images) ** 2), updates["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(prep_state.params)
+        new_state = prep_state.apply_gradients(
+            scrub_nonfinite(grads)).replace(batch_stats=new_bs)
+        return new_state, loss
+
+    # ------------------------------------------------------------------
+    @jax.jit
     def val_forward(prep_state, crnn_state, images, bboxes, strip_mask,
                     gt_labels, gt_lengths):
         """Validation fwd: cleaned doc, strips (for host OCR), CRNN decode,
@@ -184,6 +203,7 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
         prep_extract=prep_extract,
         phase_a=phase_a,
         phase_b=phase_b,
+        prep_pretrain_step=prep_pretrain_step,
         val_forward=val_forward,
         entropy_of=entropy_of,
     )

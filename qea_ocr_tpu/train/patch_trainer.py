@@ -101,6 +101,9 @@ class PatchTrainerConfig:
     pruning_artifact: Optional[str] = None
     tracked_labels_path: Optional[str] = None  # resume label history (JSON)
     profile_dir: Optional[str] = None          # jax.profiler trace output
+    prep_pretrain_epochs: int = 0  # identity/denoise pretraining of the UNet
+                                   # before the budget loop (skipped when a
+                                   # --prep_model checkpoint is loaded)
     # TPU-native additions
     async_ocr: bool = False   # pipeline host OCR of batch k+1 over device
                               # compute of batch k (strips one prep-update
@@ -177,12 +180,16 @@ class TrainNNPrep:
             prep_vars, adam_l2(cfg.lr_prep, cfg.weight_decay))
         self.crnn_state = ModelState.create(
             crnn_vars, adam_l2(cfg.lr_crnn, cfg.weight_decay))
+        from qea_ocr_tpu.train.state import set_learning_rate
         if cfg.prep_model:
             from qea_ocr_tpu.utils.io import load_checkpoint
             self.prep_state = load_checkpoint(cfg.prep_model, self.prep_state)
+            # checkpoints carry optimizer hyperparams; the configured lr wins
+            self.prep_state = set_learning_rate(self.prep_state, cfg.lr_prep)
         if cfg.crnn_model:
             from qea_ocr_tpu.utils.io import load_checkpoint
             self.crnn_state = load_checkpoint(cfg.crnn_model, self.crnn_state)
+            self.crnn_state = set_learning_rate(self.crnn_state, cfg.lr_crnn)
 
         # ------------------------------------------------- tracking/weights
         self.weightgen_method = weightgenerator_factory(cfg.weightgen_method)
@@ -312,8 +319,29 @@ class TrainNNPrep:
         with maybe_profile(self.cfg.profile_dir):
             return self._train_impl()
 
+    def _prep_pretrain(self):
+        """Identity/denoise pretraining epochs for the UNet."""
+        cfg = self.cfg
+        for epoch in range(cfg.prep_pretrain_epochs):
+            total, n = 0.0, 0
+            for batch in batch_iterator(
+                    self.dataset, cfg.batch_docs, collate_docs,
+                    seed=cfg.random_seed + 7000, epoch=epoch,
+                    indices=self.train_indices):
+                images = jnp.asarray(batch.images)
+                if self.mesh is not None:
+                    from qea_ocr_tpu.parallel import put_batch
+                    images = put_batch(images, self.mesh)
+                self.prep_state, loss = self.steps.prep_pretrain_step(
+                    self.prep_state, images)
+                total += float(loss)
+                n += 1
+            print(f"[prep-pretrain] epoch {epoch} mse {total / max(1, n):.5f}")
+
     def _train_impl(self):
         cfg = self.cfg
+        if cfg.prep_pretrain_epochs and not cfg.prep_model:
+            self._prep_pretrain()
         D, S = cfg.batch_docs, cfg.max_strips
         N = D * S
         L = self.charmap.max_len
