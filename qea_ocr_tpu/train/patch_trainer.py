@@ -491,8 +491,9 @@ class TrainNNPrep:
                     flat_bb=flat_bb, sel_rows=sel_rows, sel_ids=sel_ids,
                     clean=None, jitter=[])
         if cfg.inner_limit and len(sel_rows):
-            strips_np = np.asarray(strips)
-            sel_strips = strips_np[sel_rows]
+            # gather on device, fetch only the selected strips (host<->device
+            # bandwidth is the bottleneck on tunneled TPUs)
+            sel_strips = np.asarray(strips[jnp.asarray(sel_rows)])
             issue = self.ocr.submit if cfg.async_ocr else self.ocr.query
             if cfg.inner_limit_skip:
                 with self.timer.time("ocr_issue"):
@@ -520,7 +521,7 @@ class TrainNNPrep:
         crnn_updates = 0
 
         if cfg.inner_limit:
-            strips_np = np.asarray(strips)
+            strip_hw = strips.shape[2:]
             hist_labels = np.full((N, W, L), self.charmap.pad_id, np.int32)
             hist_lengths = np.zeros((N, W), np.int32)
             hist_valid = np.zeros((N, W), bool)
@@ -542,8 +543,7 @@ class TrainNNPrep:
             else:
                 loss_weights = decaying_weights(cfg.decay_factor, W)
 
-            jitter_images = np.ones((n_jitter, N, 1, *strips_np.shape[2:]),
-                                    np.float32)
+            jitter_images = np.ones((n_jitter, N, 1, *strip_hw), np.float32)
             jitter_labels = np.full((n_jitter, N, L), self.charmap.pad_id,
                                     np.int32)
             jitter_lengths = np.zeros((n_jitter, N), np.int32)
@@ -623,9 +623,8 @@ class TrainNNPrep:
             gt = jnp.asarray(batch.gt_labels.reshape(N, L))
             gt_len = jnp.asarray(batch.gt_lengths.reshape(N))
             # host OCR on cleaned strips (costed: train_val_bb_calls parity)
-            strips_np = np.asarray(strips)
             rows = np.nonzero(batch.strip_mask.reshape(N))[0]
-            res = self.ocr.query(strips_np[rows])
+            res = self.ocr.query(np.asarray(strips[jnp.asarray(rows)]))
             ocr_labels = np.full((N, L), self.charmap.pad_id, np.int32)
             ocr_lengths = np.zeros((N,), np.int32)
             ocr_labels[rows] = res.labels
