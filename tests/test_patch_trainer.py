@@ -154,6 +154,43 @@ class TestPatchTrainerVariants:
         assert len(recs) == 2
         assert np.isfinite(recs[-1]["train_loss"])
 
+    def test_prep_pretrain_reduces_recon_mse(self, tmp_path):
+        import jax.numpy as jnp
+        cfg = tiny_cfg(tmp_path, epochs=1, inner_limit=0,
+                       prep_pretrain_epochs=4)
+        trainer = TrainNNPrep(cfg)
+        from qea_ocr_tpu.data.pipeline import collate_docs
+        batch = collate_docs([trainer.dataset[0], trainer.dataset[1]])
+        imgs = jnp.asarray(batch.images)
+        before = float(jnp.mean(
+            (trainer.prep_model.apply(trainer.prep_state.variables, imgs,
+                                      train=False) - imgs) ** 2))
+        trainer._prep_pretrain()
+        after = float(jnp.mean(
+            (trainer.prep_model.apply(trainer.prep_state.variables, imgs,
+                                      train=False) - imgs) ** 2))
+        assert after < before
+
+    def test_resume_from_checkpoints(self, tmp_path):
+        import glob
+        cfg = tiny_cfg(tmp_path / "a", epochs=1, inner_limit=1,
+                       inner_limit_skip=True, minibatch_subset="rangeCER")
+        TrainNNPrep(cfg).train()
+        prep_ck = glob.glob(str(tmp_path / "a" / "ckpts" / "Prep_model_0_*"))[0]
+        crnn_ck = str(tmp_path / "a" / "ckpts" / "CRNN_model_0")
+        cfg2 = tiny_cfg(tmp_path / "b", epochs=2, start_epoch=1,
+                        prep_model=prep_ck, crnn_model=crnn_ck,
+                        tracked_labels_path=str(
+                            tmp_path / "a" / "tracked_labels" /
+                            "tracked_labels_current.json"),
+                        minibatch_subset="topKCER")
+        trainer2 = TrainNNPrep(cfg2)
+        # resumed lr equals the configured one, not the checkpointed one
+        assert float(trainer2.crnn_state.opt_state.hyperparams[
+            "learning_rate"]) == pytest.approx(cfg2.lr_crnn)
+        best_acc, _ = trainer2.train()
+        assert 0.0 <= best_acc <= 1.0
+
     def test_data_parallel_8dev(self, tmp_path):
         """Full trainer on the 8-virtual-device CPU mesh: batch of 8 docs
         sharded over the data axis, gradients psum'd by GSPMD."""
