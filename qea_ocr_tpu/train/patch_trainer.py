@@ -104,6 +104,9 @@ class PatchTrainerConfig:
     prep_pretrain_epochs: int = 0  # identity/denoise pretraining of the UNet
                                    # before the budget loop (skipped when a
                                    # --prep_model checkpoint is loaded)
+    prep_pretrain_lr: float = 1e-3 # pretraining uses its own (higher) lr;
+                                   # the UNet's skip connections make near-
+                                   # identity easy to reach quickly
     # TPU-native additions
     async_ocr: bool = False   # pipeline host OCR of batch k+1 over device
                               # compute of batch k (strips one prep-update
@@ -321,7 +324,10 @@ class TrainNNPrep:
 
     def _prep_pretrain(self):
         """Identity/denoise pretraining epochs for the UNet."""
+        from qea_ocr_tpu.train.state import set_learning_rate
         cfg = self.cfg
+        self.prep_state = set_learning_rate(self.prep_state,
+                                            cfg.prep_pretrain_lr)
         for epoch in range(cfg.prep_pretrain_epochs):
             total, n = 0.0, 0
             for batch in batch_iterator(
@@ -337,6 +343,7 @@ class TrainNNPrep:
                 total += float(loss)
                 n += 1
             print(f"[prep-pretrain] epoch {epoch} mse {total / max(1, n):.5f}")
+        self.prep_state = set_learning_rate(self.prep_state, cfg.lr_prep)
 
     def _train_impl(self):
         cfg = self.cfg
