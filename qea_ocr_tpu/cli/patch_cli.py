@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_train_docs", type=int, default=32)
     p.add_argument("--synthetic_val_docs", type=int, default=8)
     p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--async_ocr", action="store_true",
+                   help="pipeline host OCR over device compute")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard document batches over all devices")
     return p
 
 
@@ -113,6 +117,7 @@ def config_from_args(args) -> PatchTrainerConfig:
         max_strips=args.max_strips, dataset=args.dataset,
         synthetic_train_docs=args.synthetic_train_docs,
         synthetic_val_docs=args.synthetic_val_docs, use_wandb=args.use_wandb,
+        async_ocr=args.async_ocr, data_parallel=args.data_parallel,
     )
 
 

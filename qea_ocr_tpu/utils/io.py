@@ -60,6 +60,25 @@ def save_image_png(img: np.ndarray, path: str) -> None:
     Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8), "L").save(path)
 
 
+def save_image_grid(images: np.ndarray, path: str, nrow: int = 8,
+                    pad: int = 2) -> None:
+    """Tile a batch (B, 1, H, W) or (B, H, W) into a grid PNG (reference
+    `save_img` / torchvision make_grid analogue, `utils.py:43-46`)."""
+    images = np.asarray(images)
+    if images.ndim == 4:
+        images = images[:, 0]
+    B, H, W = images.shape
+    ncol = min(nrow, B)
+    nr = (B + ncol - 1) // ncol
+    canvas = np.ones((nr * (H + pad) + pad, ncol * (W + pad) + pad), np.float32)
+    for i in range(B):
+        r, c = divmod(i, ncol)
+        y = pad + r * (H + pad)
+        x = pad + c * (W + pad)
+        canvas[y:y + H, x:x + W] = images[i]
+    save_image_png(canvas, path)
+
+
 # ---------------------------------------------------------------- checkpoints
 def _state_to_pytree(state) -> Dict[str, Any]:
     return {

@@ -149,3 +149,29 @@ class TestGVisionMock:
         from qea_ocr_tpu.ocr.gvision import GVisionBackend
         b = GVisionBackend(mock_response=True)
         assert b._filter_charset("ab☃c€") == "abc€"
+
+
+class TestGVisionFailureCounter:
+    def test_aborts_after_max_exceptions(self):
+        from qea_ocr_tpu.ocr.gvision import GVisionBackend
+        b = GVisionBackend(mock_response=True, max_exceptions=3)
+        b.mock_response = False          # force the live path...
+        b.client = None                  # ...which raises on every call
+        import numpy as np
+        img = np.ones((32, 128), np.float32)
+        # first max_exceptions-1 failures return empty labels
+        for _ in range(2):
+            assert b._recognize(img) == ""
+        with pytest.raises(RuntimeError, match="consecutive"):
+            b._recognize(img)
+
+
+class TestImageGrid:
+    def test_grid_geometry(self, tmp_path):
+        from qea_ocr_tpu.utils.io import save_image_grid
+        imgs = np.random.default_rng(0).random((5, 1, 8, 10)).astype(np.float32)
+        p = tmp_path / "grid.png"
+        save_image_grid(imgs, str(p), nrow=3, pad=2)
+        arr = np.asarray(Image.open(p))
+        # 2 rows x 3 cols: H = 2*(8+2)+2 = 22, W = 3*(10+2)+2 = 38
+        assert arr.shape == (22, 38)
