@@ -25,3 +25,26 @@ Design stance (TPU-first, not a port):
 __version__ = "0.1.0"
 
 from qea_ocr_tpu import config as config  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import qea_ocr_tpu` light)."""
+    import importlib
+    lazy = {
+        "CharMap": ("qea_ocr_tpu.utils.charmap", "CharMap"),
+        "CRNN": ("qea_ocr_tpu.models", "CRNN"),
+        "UNet": ("qea_ocr_tpu.models", "UNet"),
+        "HistoryAttention": ("qea_ocr_tpu.models", "HistoryAttention"),
+        "get_ocr_helper": ("qea_ocr_tpu.ocr.base", "get_ocr_helper"),
+        "OcrQueryEngine": ("qea_ocr_tpu.ocr.engine", "OcrQueryEngine"),
+        "TrainCRNN": ("qea_ocr_tpu.train.crnn_trainer", "TrainCRNN"),
+        "TrainNNPrep": ("qea_ocr_tpu.train.patch_trainer", "TrainNNPrep"),
+        "TrainNNPrepArea": ("qea_ocr_tpu.train.area_trainer", "TrainNNPrepArea"),
+        "EvalPrep": ("qea_ocr_tpu.eval.eval_prep", "EvalPrep"),
+        "EvalCRNN": ("qea_ocr_tpu.eval.eval_crnn", "EvalCRNN"),
+        "prep_eval": ("qea_ocr_tpu.eval.eval_utils", "prep_eval"),
+    }
+    if name in lazy:
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(name)

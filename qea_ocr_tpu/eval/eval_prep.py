@@ -147,9 +147,17 @@ class EvalPrep:
                     jnp.asarray(o_labels), jnp.asarray(o_lengths), gt, gt_len, mask)
                 ori_crt += float(crt); ori_cer += float(cer)
 
-            _, strips = self._prep_strips(self.prep_state, images, bboxes)
+            doc_out, strips = self._prep_strips(self.prep_state, images, bboxes)
             arr = np.asarray(strips).reshape(N, 1, 32, 128)[rows]
             (labs, lens), texts = self._ocr_encoded(arr)
+            if cfg.show_img:
+                # headless replacement for the reference's interactive
+                # show_img: save cleaned docs + strips as grids
+                from qea_ocr_tpu.utils.io import save_image_grid
+                os.makedirs("eval_out", exist_ok=True)
+                save_image_grid(np.asarray(doc_out),
+                                f"eval_out/cleaned_docs_{lbl_count}.png", nrow=2)
+                save_image_grid(arr, f"eval_out/cleaned_strips_{lbl_count}.png")
             p_labels = np.full((N, L), self.charmap.pad_id, np.int32)
             p_lengths = np.zeros((N,), np.int32)
             p_labels[rows], p_lengths[rows] = labs, lens
@@ -184,6 +192,10 @@ class EvalPrep:
             images = jnp.asarray(batch.images)
             img_out = self._prep_fwd(self.prep_state, images)
             (labs, lens), _ = self._ocr_encoded(np.asarray(img_out))
+            if cfg.show_img and count == 0:
+                from qea_ocr_tpu.utils.io import save_image_grid
+                os.makedirs("eval_out", exist_ok=True)
+                save_image_grid(np.asarray(img_out), "eval_out/cleaned_crops.png")
             gt = jnp.asarray(batch.labels)
             gt_len = jnp.asarray(batch.lengths)
             crt, cer, _ = self._compare(
