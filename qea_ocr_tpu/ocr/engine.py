@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from concurrent.futures import Future, ThreadPoolExecutor
-from typing import List, Sequence
+from typing import List
 
 import numpy as np
 

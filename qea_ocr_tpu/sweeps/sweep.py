@@ -15,7 +15,7 @@ CLI: python -m qea_ocr_tpu.sweeps.sweep --which patch --n_trials 3 \
 from __future__ import annotations
 
 import argparse
-import dataclasses
+
 import json
 from typing import Optional
 

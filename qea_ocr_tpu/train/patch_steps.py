@@ -29,7 +29,7 @@ from types import SimpleNamespace
 import jax
 import jax.numpy as jnp
 
-from qea_ocr_tpu.ops.ctc import ctc_loss_mean, ctc_loss_samplewise, greedy_decode
+from qea_ocr_tpu.ops.ctc import ctc_loss_mean, greedy_decode
 from qea_ocr_tpu.ops.edit_distance import cer_from_labels
 from qea_ocr_tpu.ops.entropy import mean_sequence_entropy
 from qea_ocr_tpu.ops.text_stack import get_text_stack_batch

@@ -28,7 +28,6 @@ Two-phase step semantics preserved:
 from __future__ import annotations
 
 import dataclasses
-import math
 import os
 from typing import Dict, List, Optional
 
