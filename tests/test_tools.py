@@ -83,3 +83,25 @@ class TestSweepFallback:
                 corruption=dict(noise_std=0.02, shading=0.0, salt_pepper=0.0),
                 crnn_model_path=str(tmp_path / "m")))
         assert "best_params" in result and "lr" in result["best_params"]
+
+
+class TestBuildPatchDataset:
+    def test_mock_annotation_roundtrip(self, tmp_path):
+        from PIL import Image
+        src = tmp_path / "raw"
+        src.mkdir()
+        Image.fromarray(
+            (np.ones((100, 150)) * 255).astype(np.uint8), "L").save(
+            src / "doc0.png")
+        from qea_ocr_tpu.tools.build_patch_dataset import build
+        from qea_ocr_tpu.ocr.gvision import GVisionBackend
+        dst = tmp_path / "out"
+        n = build(str(src), str(dst), GVisionBackend(mock_response=True))
+        assert n == 1
+        sidecar = json.loads((dst / "doc0.json").read_text())
+        assert sidecar and {"label", "x_min", "y_min", "x_max", "y_max"} <= set(
+            sidecar[0])
+        # loadable by PatchDocuments
+        from qea_ocr_tpu.data.datasets import PatchDocuments
+        ds = PatchDocuments(str(dst), max_strips=4)
+        assert len(ds) == 1 and ds[0].strip_mask.sum() >= 1
