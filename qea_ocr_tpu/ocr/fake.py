@@ -36,15 +36,33 @@ class FakeOcrBackend(OcrBackend):
         self._chars = [c for c in tmpl if c != " "]
         self._templates = np.stack([tmpl[c] for c in self._chars])  # (K, H, W)
 
+    @staticmethod
+    def _otsu_threshold(img: np.ndarray) -> float:
+        """Otsu's method on a 64-bin histogram — the binarization real
+        engines (e.g. Tesseract) apply, so low-contrast-but-structured text
+        stays recognizable while noise still degrades accuracy gracefully."""
+        hist, edges = np.histogram(img, bins=64, range=(0.0, 1.0))
+        hist = hist.astype(np.float64)
+        total = hist.sum()
+        if total <= 0:
+            return 0.5
+        centers = 0.5 * (edges[:-1] + edges[1:])
+        w0 = np.cumsum(hist)
+        w1 = total - w0
+        mu0 = np.cumsum(hist * centers) / np.maximum(w0, 1e-9)
+        mu_t = (hist * centers).sum() / total
+        mu1 = (mu_t * total - np.cumsum(hist * centers)) / np.maximum(w1, 1e-9)
+        between = w0 * w1 * (mu0 - mu1) ** 2
+        return float(centers[int(np.argmax(between))])
+
     def _recognize(self, image: np.ndarray) -> str:
         img = np.asarray(image, np.float32)
-        # Adaptive midpoint binarization (real engines binarize before
-        # recognition); noise near the threshold flips pixels, giving
-        # graceful accuracy degradation under corruption.
-        lo, hi = float(img.min()), float(img.max())
-        if hi - lo < 1e-3:
+        # Otsu binarization (real engines binarize before recognition);
+        # noise near the threshold flips pixels, giving graceful accuracy
+        # degradation under corruption.
+        if float(img.max()) - float(img.min()) < 1e-3:
             return ""
-        thr = 0.5 * (lo + hi)
+        thr = self._otsu_threshold(img)
         ink = (img < thr).astype(np.float32)
         h, w = ink.shape
         col_ink = ink.mean(axis=0)

@@ -57,9 +57,9 @@ def main():
         corruption=CORRUPTION,
         minibatch_subset="rangeCER", minibatch_subset_prop=0.75,
         inner_limit=2, inner_limit_skip=True, window_size=3,
-        weightgen_method="decaying", scalar=0.3,
+        weightgen_method="decaying", scalar=0.1,
         prep_pretrain_epochs=int(os.environ.get("PREP_PRETRAIN", 8)),
-        lr_prep=2e-4, lr_crnn=1e-4,
+        lr_prep=5e-5, lr_crnn=1e-4,
         crnn_model=crnn_ckpt,
         exp_base_path=os.path.join(OUT, "patch"))
     trainer = TrainNNPrep(patch_cfg)
