@@ -24,7 +24,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_tpu(n_steps: int = 10, D: int = 8, S: int = 16) -> float:
+def run_tpu(n_steps: int = 20, D: int = 32, S: int = 16) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
