@@ -67,8 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weightgen_method", default="decaying",
                    choices=["levenshtein", "self_attention", "decaying"])
     p.add_argument("--decay_factor", type=float, default=0.7)
-    p.add_argument("--optim_crnn_path", help="(accepted for parity; optimizer "
-                   "state lives inside orbax checkpoints)")
+    p.add_argument("--optim_crnn_path",
+                   help="checkpoint to fully resume CRNN params+optimizer from")
     p.add_argument("--optim_prep_path")
     p.add_argument("--pruning_artifact")
     p.add_argument("--tracked_labels_path",
@@ -110,6 +110,8 @@ def config_from_args(args) -> PatchTrainerConfig:
         emb_dim=args.emb_dim, attn_activation=args.attn_activation,
         weightgen_method=args.weightgen_method, decay_factor=args.decay_factor,
         pruning_artifact=args.pruning_artifact,
+        optim_crnn_path=args.optim_crnn_path,
+        optim_prep_path=args.optim_prep_path,
         tracked_labels_path=args.tracked_labels_path,
         profile_dir=args.profile_dir,
         prep_pretrain_epochs=args.prep_pretrain_epochs,

@@ -98,6 +98,8 @@ class PatchTrainerConfig:
     weightgen_method: str = "decaying"
     decay_factor: float = 0.7
     pruning_artifact: Optional[str] = None
+    optim_crnn_path: Optional[str] = None  # full-state resume (params + Adam
+    optim_prep_path: Optional[str] = None  # moments), reference --optim_*_path
     tracked_labels_path: Optional[str] = None  # resume label history (JSON)
     profile_dir: Optional[str] = None          # jax.profiler trace output
     prep_pretrain_epochs: int = 0  # identity/denoise pretraining of the UNet
@@ -183,14 +185,20 @@ class TrainNNPrep:
         self.crnn_state = ModelState.create(
             crnn_vars, adam_l2(cfg.lr_crnn, cfg.weight_decay))
         from qea_ocr_tpu.train.state import set_learning_rate
+        from qea_ocr_tpu.utils.io import load_checkpoint
         if cfg.prep_model:
-            from qea_ocr_tpu.utils.io import load_checkpoint
+            # model-only warm start (fresh optimizer, reference torch.load)
             self.prep_state = load_checkpoint(cfg.prep_model, self.prep_state)
-            # checkpoints carry optimizer hyperparams; the configured lr wins
-            self.prep_state = set_learning_rate(self.prep_state, cfg.lr_prep)
         if cfg.crnn_model:
-            from qea_ocr_tpu.utils.io import load_checkpoint
             self.crnn_state = load_checkpoint(cfg.crnn_model, self.crnn_state)
+        if cfg.optim_prep_path:
+            # explicit full-state resume (reference --optim_prep_path)
+            self.prep_state = load_checkpoint(
+                cfg.optim_prep_path, self.prep_state, restore_opt=True)
+            self.prep_state = set_learning_rate(self.prep_state, cfg.lr_prep)
+        if cfg.optim_crnn_path:
+            self.crnn_state = load_checkpoint(
+                cfg.optim_crnn_path, self.crnn_state, restore_opt=True)
             self.crnn_state = set_learning_rate(self.crnn_state, cfg.lr_crnn)
 
         # ------------------------------------------------- tracking/weights

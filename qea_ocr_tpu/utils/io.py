@@ -99,19 +99,32 @@ def save_checkpoint(path: str, state) -> None:
     ckptr.wait_until_finished()
 
 
-def load_checkpoint(path: str, state):
-    """Restore into an existing ModelState template (same tx/shapes)."""
+def load_checkpoint(path: str, state, restore_opt: bool = False):
+    """Restore into an existing ModelState template (same tx/shapes).
+
+    `restore_opt=False` (default) loads only params + batch stats and keeps a
+    FRESH optimizer — parity with the reference's `torch.load(model)` warm
+    starts, where optimizer state is only resumed via the explicit
+    `--optim_*_path` flags (`train_nn_patch.py:153-156`). Restoring a
+    converged run's Adam moments into a new training phase makes the first
+    steps explosive (stale tiny second moments) — this collapsed the CRNN
+    proxy until the default became False.
+    """
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree_util.tree_map(np.asarray, _state_to_pytree(state))
     restored = ckptr.restore(path, target=target)
-    return state.replace(
-        step=restored["step"],
+    out = state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
-        opt_state=jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(state.opt_state),
-            jax.tree_util.tree_leaves(restored["opt_state"]),
-        ),
     )
+    if restore_opt:
+        out = out.replace(
+            step=restored["step"],
+            opt_state=jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(state.opt_state),
+                jax.tree_util.tree_leaves(restored["opt_state"]),
+            ),
+        )
+    return out
