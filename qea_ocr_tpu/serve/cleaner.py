@@ -1,0 +1,169 @@
+"""Production serving path: batch document cleaning with a trained prep model.
+
+The reference has no deployment story beyond `eval_prep.py` saving sample
+images — to *use* a trained preprocessor you had to run the evaluator. This
+module is the missing serving surface: stream arbitrary document images
+through the UNet at a fixed compiled shape, write cleaned images (original
+geometry restored), and optionally transcribe the cleaned output with any
+OCR backend.
+
+TPU-first design:
+  * one jitted forward at a single static (batch, doc_size) shape — no
+    per-image recompiles; ragged inputs are white-padded (shrunk when
+    larger, same geometry as `PatchDocuments`, reference
+    `datasets/patch_dataset.py:36-55`) and cropped back on the way out;
+  * double-buffered host/device overlap: JAX async dispatch means the
+    host prepares + writes batch k while the device cleans batch k+1 —
+    the fetch of result k happens after dispatch of k+1;
+  * bfloat16 compute via the UNet's own dtype policy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from qea_ocr_tpu import config as C
+from qea_ocr_tpu.data.datasets import load_gray
+from qea_ocr_tpu.models import UNet
+from qea_ocr_tpu.train.state import ModelState, adam_l2
+from qea_ocr_tpu.utils.io import load_checkpoint, save_image_png
+
+
+@dataclasses.dataclass
+class _Geometry:
+    """How an input was fitted into the fixed processing shape."""
+    top: int
+    left: int
+    h: int          # content height inside the canvas (possibly shrunk)
+    w: int
+
+
+class DocumentCleaner:
+    """Fixed-shape batched UNet inference for document cleaning."""
+
+    def __init__(self, prep_path: str, *, unet_features: int = 32,
+                 doc_size: Tuple[int, int] = C.DOC_SIZE, batch_size: int = 8):
+        import jax
+        import jax.numpy as jnp
+
+        self.doc_size = tuple(doc_size)
+        self.batch_size = int(batch_size)
+        self.model = UNet(init_features=unet_features)
+        variables = self.model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1, *self.doc_size)),
+            train=False)
+        state = ModelState.create(variables, adam_l2(1e-4))
+        self.state = load_checkpoint(prep_path, state)
+
+        @jax.jit
+        def fwd(state, images):
+            return self.model.apply(state.variables, images, train=False)
+
+        self._fwd = fwd
+
+    # ------------------------------------------------------------------
+    def _fit(self, img: np.ndarray) -> Tuple[np.ndarray, _Geometry]:
+        """White-pad `img` (H, W) into the processing canvas; shrink
+        aspect-preserving when larger (PatchDocuments parity)."""
+        h, w = self.doc_size
+        ih, iw = img.shape
+        if ih > h or iw > w:
+            from PIL import Image
+            pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+            pil.thumbnail((w, h))
+            img = np.asarray(pil, np.float32) / 255.0
+            ih, iw = img.shape
+        top = (h - ih) // 2
+        left = (w - iw) // 2
+        canvas = np.ones((h, w), np.float32)
+        canvas[top:top + ih, left:left + iw] = img
+        return canvas, _Geometry(top, left, ih, iw)
+
+    def clean_arrays(self, images: Sequence[np.ndarray]) -> List[np.ndarray]:
+        """Clean a list of (H, W) float [0,1] grayscale images. Returns the
+        cleaned content regions at processing resolution (shrunk inputs stay
+        shrunk — the model was trained at `doc_size`)."""
+        out: List[np.ndarray] = []
+        for batch, geoms in self._batches(iter(images)):
+            cleaned = np.asarray(self._dispatch(batch))
+            out.extend(self._crop(cleaned, geoms))
+        return out
+
+    # ------------------------------------------------------------------
+    def _batches(self, it: Iterable[np.ndarray]):
+        batch, geoms = [], []
+        for img in it:
+            canvas, geom = self._fit(np.asarray(img, np.float32))
+            batch.append(canvas)
+            geoms.append(geom)
+            if len(batch) == self.batch_size:
+                yield batch, geoms
+                batch, geoms = [], []
+        if batch:
+            yield batch, geoms
+
+    def _dispatch(self, batch: List[np.ndarray]):
+        """Pad the batch to the static batch size and run the jitted fwd."""
+        import jax.numpy as jnp
+        n = len(batch)
+        arr = np.stack(batch)[:, None]                    # (n, 1, H, W)
+        if n < self.batch_size:
+            arr = np.concatenate(
+                [arr, np.ones((self.batch_size - n, 1, *self.doc_size),
+                              np.float32)])
+        return self._fwd(self.state, jnp.asarray(arr))[:n]
+
+    @staticmethod
+    def _crop(cleaned: np.ndarray, geoms: List[_Geometry]) -> List[np.ndarray]:
+        return [cleaned[i, 0, g.top:g.top + g.h, g.left:g.left + g.w]
+                for i, g in enumerate(geoms)]
+
+    # ------------------------------------------------------------------
+    def clean_dir(self, input_dir: str, output_dir: str, *,
+                  ocr=None, transcripts_path: Optional[str] = None,
+                  exts=("png", "jpg", "jpeg")) -> dict:
+        """Clean every image under `input_dir` into `output_dir` (flat,
+        `<stem>.png`). With an OCR backend, transcribe each cleaned document
+        (whole-image word list) into `transcripts_path` (JSON
+        {filename: [words...]}).
+
+        Double-buffered: result k is fetched only after batch k+1 is
+        dispatched, so host PNG-encode/OCR overlaps device compute."""
+        from qea_ocr_tpu.data.datasets import find_images
+
+        paths = find_images(input_dir, exts=exts)
+        os.makedirs(output_dir, exist_ok=True)
+        transcripts: dict = {}
+        n_done = 0
+
+        pending = None  # (device_result, geoms, paths) awaiting fetch
+        for i in range(0, len(paths), self.batch_size):
+            chunk = paths[i:i + self.batch_size]
+            fitted = [self._fit(load_gray(p)) for p in chunk]
+            dev = self._dispatch([c for c, _ in fitted])
+            if pending is not None:
+                n_done += self._finish(pending, output_dir, ocr, transcripts)
+            pending = (dev, [g for _, g in fitted], chunk)
+        if pending is not None:
+            n_done += self._finish(pending, output_dir, ocr, transcripts)
+
+        if ocr is not None and transcripts_path:
+            with open(transcripts_path, "w") as f:
+                json.dump(transcripts, f, indent=1)
+        return {"num_documents": n_done, "output_dir": output_dir,
+                "transcripts": transcripts_path if ocr is not None else None}
+
+    def _finish(self, pending, output_dir, ocr, transcripts) -> int:
+        dev, geoms, chunk_paths = pending
+        cleaned = self._crop(np.asarray(dev), geoms)
+        for path, img in zip(chunk_paths, cleaned):
+            stem = os.path.splitext(os.path.basename(path))[0]
+            save_image_png(img, os.path.join(output_dir, stem + ".png"))
+            if ocr is not None:
+                transcripts[os.path.basename(path)] = ocr.get_string(img)
+        return len(cleaned)

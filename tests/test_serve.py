@@ -1,0 +1,72 @@
+"""Serving path: DocumentCleaner + clean_docs CLI on the synthetic world."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qea_ocr_tpu.data.synth import make_document
+from qea_ocr_tpu.models import UNet
+from qea_ocr_tpu.train.state import ModelState, adam_l2
+from qea_ocr_tpu.utils.io import save_checkpoint, save_image_png
+
+DOC = (128, 128)  # small docs keep the UNet compile cheap on CPU
+
+
+@pytest.fixture(scope="module")
+def prep_ckpt(tmp_path_factory):
+    model = UNet(init_features=4)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, *DOC)), train=False)
+    state = ModelState.create(variables, adam_l2(1e-4))
+    path = str(tmp_path_factory.mktemp("serve") / "prep")
+    save_checkpoint(path, state)
+    return path
+
+
+@pytest.fixture(scope="module")
+def doc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs")
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        img, _ = make_document(rng, doc_h=DOC[0], doc_w=DOC[1], n_strips=3)
+        save_image_png(img, str(d / f"doc_{i}.png"))
+    return str(d)
+
+
+def test_clean_arrays_geometry(prep_ckpt):
+    from qea_ocr_tpu.serve import DocumentCleaner
+
+    cleaner = DocumentCleaner(prep_ckpt, unet_features=4, doc_size=DOC,
+                              batch_size=2)
+    rng = np.random.default_rng(1)
+    small = rng.random((60, 90), dtype=np.float32)
+    exact = rng.random(DOC, dtype=np.float32)
+    big = rng.random((DOC[0] * 2, DOC[1] * 2), dtype=np.float32)  # shrunk
+    out = cleaner.clean_arrays([small, exact, big])  # 3 imgs, batch 2
+    assert out[0].shape == (60, 90)
+    assert out[1].shape == DOC
+    # aspect-preserving shrink to fit the canvas
+    assert out[2].shape == DOC
+    for o in out:
+        assert np.isfinite(o).all() and 0.0 <= o.min() and o.max() <= 1.0
+
+
+def test_clean_docs_cli(prep_ckpt, doc_dir, tmp_path, capsys):
+    from qea_ocr_tpu.cli.clean_docs import main
+
+    out_dir = str(tmp_path / "cleaned")
+    tpath = str(tmp_path / "transcripts.json")
+    main(["--prep_path", prep_ckpt, "--input_dir", doc_dir,
+          "--output_dir", out_dir, "--ocr", "Fake",
+          "--transcripts", tpath, "--batch_size", "2",
+          "--unet_features", "4", "--doc_size", str(DOC[0]), str(DOC[1])])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["num_documents"] == 5
+    assert sorted(os.listdir(out_dir)) == [f"doc_{i}.png" for i in range(5)]
+    transcripts = json.load(open(tpath))
+    assert sorted(transcripts) == [f"doc_{i}.png" for i in range(5)]
+    assert all(isinstance(v, list) for v in transcripts.values())
