@@ -24,7 +24,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_tpu(n_steps: int = 20, D: int = 32, S: int = 16) -> float:
+def run_tpu(n_steps: int = 20, D: int = 96, S: int = 16) -> float:
+    """96-doc batches: measured sweet spot on a single v5e — per-doc step
+    time improves ~2.3x over 32-doc batches (fixed overheads + small-grid
+    tiling amortize); 128-doc phase_b exceeds 15.75G HBM at compile."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,7 +43,7 @@ def run_tpu(n_steps: int = 20, D: int = 32, S: int = 16) -> float:
     L = cm.max_len
     W = 1
     N = D * S
-    prep = UNet()
+    prep = UNet(remat=bool(int(os.environ.get("QEA_BENCH_REMAT", "0"))))
     crnn = CRNN(vocab_size=cm.vocab_size)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     prep_state = ModelState.create(
@@ -87,11 +90,14 @@ def run_tpu(n_steps: int = 20, D: int = 32, S: int = 16) -> float:
                           strip_ids, update_crnn=False)
         return prep_state, crnn_state, cer_table, ent_table, metrics["loss"]
 
-    # warmup / compile
+    # warmup / compile. Sync via a host fetch of the loss value:
+    # `block_until_ready` alone does not flush execution on the remote
+    # tunnel platform, which inflates throughput ~8x past bf16
+    # speed-of-light (verified against XLA cost analysis: ~15 TFLOP/step).
     t0 = time.perf_counter()
     prep_state, crnn_state, cer_table, ent_table, loss = one_step(
         prep_state, crnn_state, cer_table, ent_table)
-    jax.block_until_ready(loss)
+    float(jax.device_get(loss))
     log(f"compile+first step: {time.perf_counter() - t0:.1f}s "
         f"(device={jax.devices()[0].device_kind})")
 
@@ -99,7 +105,7 @@ def run_tpu(n_steps: int = 20, D: int = 32, S: int = 16) -> float:
     for _ in range(n_steps):
         prep_state, crnn_state, cer_table, ent_table, loss = one_step(
             prep_state, crnn_state, cer_table, ent_table)
-    jax.block_until_ready(loss)
+    float(jax.device_get(loss))
     dt = time.perf_counter() - t0
     dps = n_steps * D / dt
     log(f"TPU: {n_steps} steps x {D} docs in {dt:.2f}s -> {dps:.2f} docs/s")
@@ -117,7 +123,9 @@ def run_torch_baseline() -> float:
 
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    tpu_dps = run_tpu()
+    tpu_dps = run_tpu(
+        n_steps=int(os.environ.get("QEA_BENCH_STEPS", 20)),
+        D=int(os.environ.get("QEA_BENCH_DOCS", 96)))
     try:
         base_dps = run_torch_baseline()
     except Exception as e:  # torch missing or baseline failure

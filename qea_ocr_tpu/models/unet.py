@@ -46,12 +46,17 @@ class UNet(nn.Module):
     init_features: int = 32
     compute_dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    remat: bool = False   # rematerialize blocks in backward: ~1.3x FLOPs
+                          # for O(levels) less activation HBM — unlocks
+                          # larger document batches
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.compute_dtype)  # NHWC
         f = self.init_features
-        block = lambda feat, name: UNetBlock(
+        blk_cls = (nn.remat(UNetBlock, static_argnums=(2,))
+                   if self.remat else UNetBlock)
+        block = lambda feat, name: blk_cls(
             feat, compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
             name=name,
         )

@@ -102,7 +102,8 @@ def make_area_steps(prep_model, crnn_model, charmap, *, sec_loss_scalar=1.0):
         out = prep_model.apply(prep_state.variables, images, train=False)
         return jax.lax.stop_gradient(out)
 
-    @partial(jax.jit, static_argnames=("update_crnn",), donate_argnums=(4, 5))
+    @partial(jax.jit, static_argnames=("update_crnn",),
+             donate_argnums=(0, 1, 4, 5))
     def phase_b(prep_state, crnn_state, images, gt_labels, cer_table,
                 ent_table, gt_lengths, strip_ids, *, update_crnn: bool):
         B = images.shape[0]

@@ -55,7 +55,8 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
         return doc_out, jax.lax.stop_gradient(strips)
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnames=("decaying", "inner_limit_skip"))
+    @partial(jax.jit, static_argnames=("decaying", "inner_limit_skip"),
+             donate_argnums=(0,))
     def phase_a(crnn_state, strips, bb_mask,
                 hist_labels, hist_lengths, hist_valid, loss_weights,
                 jitter_images, jitter_labels, jitter_lengths,
@@ -97,7 +98,11 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
         return new_state, loss
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnames=("update_crnn",), donate_argnums=(6, 7))
+    # donate model states + tables: params/opt-state buffers update in place
+    # (trainers rebind both states right after each call, so the donated
+    # inputs are never touched again host-side)
+    @partial(jax.jit, static_argnames=("update_crnn",),
+             donate_argnums=(0, 1, 6, 7))
     def phase_b(prep_state, crnn_state, images, bboxes, strip_mask,
                 gt_labels, cer_table, ent_table, gt_lengths, strip_ids,
                 *, update_crnn: bool):
@@ -155,7 +160,7 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
         return new_prep, new_crnn, doc_out, metrics, new_cer_table, new_ent_table
 
     # ------------------------------------------------------------------
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def prep_pretrain_step(prep_state, images):
         """Identity/denoise pretraining: MSE(prep(x), x). Gives the
         preprocessor a readable starting point before the budget loop (the
