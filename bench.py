@@ -43,7 +43,9 @@ def run_tpu(n_steps: int = 20, D: int = 96, S: int = 16) -> float:
     L = cm.max_len
     W = 1
     N = D * S
-    prep = UNet(remat=bool(int(os.environ.get("QEA_BENCH_REMAT", "0"))))
+    from qea_ocr_tpu.utils.platform import default_mxu_packed
+    prep = UNet(remat=bool(int(os.environ.get("QEA_BENCH_REMAT", "0"))),
+                mxu_packed=default_mxu_packed())
     crnn = CRNN(vocab_size=cm.vocab_size)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     prep_state = ModelState.create(

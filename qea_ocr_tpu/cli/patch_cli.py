@@ -83,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", default="patch", choices=["patch", "synthetic"])
     p.add_argument("--synthetic_train_docs", type=int, default=32)
     p.add_argument("--synthetic_val_docs", type=int, default=8)
+    p.add_argument("--synthetic_strips_per_doc", type=int, default=6)
+    p.add_argument("--doc_size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="document canvas (default: config DOC_SIZE)")
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--async_ocr", action="store_true",
                    help="pipeline host OCR over device compute")
@@ -119,7 +123,9 @@ def config_from_args(args) -> PatchTrainerConfig:
         max_strips=args.max_strips, dataset=args.dataset,
         synthetic_train_docs=args.synthetic_train_docs,
         synthetic_val_docs=args.synthetic_val_docs, use_wandb=args.use_wandb,
+        synthetic_strips_per_doc=args.synthetic_strips_per_doc,
         async_ocr=args.async_ocr, data_parallel=args.data_parallel,
+        **({"doc_size": tuple(args.doc_size)} if args.doc_size else {}),
     )
 
 

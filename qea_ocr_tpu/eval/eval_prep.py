@@ -66,7 +66,9 @@ class EvalPrep:
             raise ValueError(f"unknown OCR backend {cfg.ocr!r}")
         self.ocr = OcrQueryEngine(backend, self.charmap)
 
-        self.prep_model = UNet(init_features=cfg.unet_features)
+        from qea_ocr_tpu.utils.platform import default_mxu_packed
+        self.prep_model = UNet(init_features=cfg.unet_features,
+                               mxu_packed=default_mxu_packed())
         is_patch = cfg.dataset in ("patch_dataset", "wildreceipt", "synthetic_patch")
         init_shape = cfg.doc_size if is_patch else C.INPUT_SIZE
         variables = self.prep_model.init(

@@ -53,7 +53,9 @@ class DocumentCleaner:
 
         self.doc_size = tuple(doc_size)
         self.batch_size = int(batch_size)
-        self.model = UNet(init_features=unet_features)
+        from qea_ocr_tpu.utils.platform import default_mxu_packed
+        self.model = UNet(init_features=unet_features,
+                          mxu_packed=default_mxu_packed())
         variables = self.model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 1, *self.doc_size)),
             train=False)

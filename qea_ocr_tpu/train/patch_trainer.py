@@ -172,7 +172,9 @@ class TrainNNPrep:
         self.ocr = OcrQueryEngine(backend, self.charmap)
 
         # ----------------------------------------------------------- models
-        self.prep_model = UNet(init_features=cfg.unet_features)
+        from qea_ocr_tpu.utils.platform import default_mxu_packed
+        self.prep_model = UNet(init_features=cfg.unet_features,
+                               mxu_packed=default_mxu_packed())
         self.crnn_model = CRNN(vocab_size=self.charmap.vocab_size,
                                lstm_hidden=cfg.lstm_hidden)
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(cfg.random_seed), 3)

@@ -32,3 +32,18 @@ def setup_platform(cache_root: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+
+
+def default_mxu_packed() -> bool:
+    """Resolve the `mxu_packed=None` (auto) UNet layout choice: packed on
+    TPU-class backends (where channel-starved shallow convs waste the MXU —
+    see qea_ocr_tpu/ops/s2d.py), vanilla elsewhere (CPU pays the 4x nominal
+    FLOPs without the utilization win). `QEA_MXU_PACKED=0/1` overrides."""
+    env = os.environ.get("QEA_MXU_PACKED")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    import jax
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
