@@ -24,6 +24,14 @@ applies the kernel flipped: out[2i+p, 2j+q] = in[i, j] @ K[1-p, 1-q]).
 
 No reference counterpart (the reference runs cuDNN convs as-is,
 `models/model_unet.py:7-109`); this is pure TPU-first engineering.
+
+When it pays: isolated shallow convs run at 7-9 TF/s vs ~100 TF/s for the
+deep ones, but inside the fully-fused UNet graph XLA recovers much of the
+gap at large batch. Measured end-to-end on a v5e: packed wins 1.27x at
+32-doc batches and ~7% at 8, loses at 1 (overhead) and at the 96-doc
+training sweet spot (4x nominal FLOPs dominate once vanilla reaches ~45%
+MFU). Hence opt-in (`QEA_MXU_PACKED=1`), not default — see
+`utils/platform.py default_mxu_packed`.
 """
 
 from __future__ import annotations
@@ -42,27 +50,43 @@ __all__ = [
 
 def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, C) -> (B, H/2, W/2, 4C); channel index = (p*2+q)*C + c for
-    spatial parity (p, q)."""
-    B, H, W, C = x.shape
-    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(B, H // 2, W // 2, 4 * C)
+    spatial parity (p, q).
+
+    Implemented as four strided slices + channel concat (NOT the textbook
+    6-D reshape/transpose): on TPU the 6-D intermediates put tiny dims in
+    the minor tiling positions and blow memory up 32-64x in padding
+    (measured: a 78 MB tensor padded to 4.6 GB). Slices stay 4-D NHWC."""
+    return jnp.concatenate(
+        [x[:, p::2, q::2, :] for p in (0, 1) for q in (0, 1)], axis=-1)
 
 
 def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of `space_to_depth`."""
+    """Inverse of `space_to_depth`, as an identity stride-2 transposed conv
+    (pure data movement through the conv unit — keeps every intermediate a
+    well-tiled 4-D NHWC tensor; see space_to_depth for why not reshapes).
+
+    lax.conv_transpose with stride 2 and a 2x2 kernel applies the kernel
+    flipped: out[2i+p, 2j+q, co] = sum_ci x[i, j, ci] K[1-p, 1-q, ci, co]."""
     B, H, W, C4 = x.shape
     C = C4 // 4
-    x = x.reshape(B, H, W, 2, 2, C)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(B, 2 * H, 2 * W, C)
+    k = np.zeros((2, 2, C4, C), np.float32)
+    for p in range(2):
+        for q in range(2):
+            par = ((1 - p) * 2 + (1 - q)) * C
+            k[p, q, par:par + C, :] = np.eye(C, dtype=np.float32)
+    return lax.conv_transpose(
+        x, jnp.asarray(k, x.dtype), (2, 2), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def parity_max(x: jnp.ndarray) -> jnp.ndarray:
     """2x2/2 max-pool of the un-packed image, computed in packed space:
-    (B, H', W', 4C) -> (B, H', W', C) max over the four parity channels."""
-    B, H, W, C4 = x.shape
-    return x.reshape(B, H, W, 4, C4 // 4).max(axis=3)
+    (B, H', W', 4C) -> (B, H', W', C) max over the four parity channels
+    (channel slices, not a 5-D reshape — same TPU tiling rationale)."""
+    C = x.shape[-1] // 4
+    return jnp.maximum(
+        jnp.maximum(x[..., :C], x[..., C:2 * C]),
+        jnp.maximum(x[..., 2 * C:3 * C], x[..., 3 * C:]))
 
 
 # A[m, p, u, di] = 1 iff u == 2(m-1) + p - di + 1, the (input-offset m,

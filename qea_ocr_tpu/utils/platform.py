@@ -35,15 +35,17 @@ def setup_platform(cache_root: str | None = None) -> None:
 
 
 def default_mxu_packed() -> bool:
-    """Resolve the `mxu_packed=None` (auto) UNet layout choice: packed on
-    TPU-class backends (where channel-starved shallow convs waste the MXU —
-    see qea_ocr_tpu/ops/s2d.py), vanilla elsewhere (CPU pays the 4x nominal
-    FLOPs without the utilization win). `QEA_MXU_PACKED=0/1` overrides."""
+    """Resolve the UNet conv layout (see qea_ocr_tpu/ops/s2d.py).
+
+    Measured on a v5e at (400, 512): the packed layout wins at mid batches
+    (D=32 forward: 42.8 ms vs 54.5 ms, 1.27x; D=8: 15.2 vs 16.3 ms) where
+    plain 32/64-channel convs underfill the MXU, but loses at D=1 (kernel
+    overhead) and at the D=96 training sweet spot (116 vs 82 ms — XLA's
+    tiling of the vanilla convs reaches ~45% MFU there and the packed
+    path's 4x nominal FLOPs dominate). Production training runs D=96, so
+    the default is OFF; opt in per-run with `QEA_MXU_PACKED=1` for
+    mid-batch serving/latency workloads."""
     env = os.environ.get("QEA_MXU_PACKED")
     if env is not None:
         return env not in ("0", "false", "False")
-    import jax
-    try:
-        return jax.default_backend() not in ("cpu",)
-    except Exception:
-        return False
+    return False
