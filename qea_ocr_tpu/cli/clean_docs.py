@@ -44,6 +44,8 @@ def main(argv=None):
     from qea_ocr_tpu.serve import DocumentCleaner
 
     ocr = get_ocr_helper(args.ocr, is_eval=True) if args.ocr else None
+    if args.ocr and ocr is None:
+        raise ValueError(f"unknown OCR backend {args.ocr!r}")
     kw = {"doc_size": tuple(args.doc_size)} if args.doc_size else {}
     cleaner = DocumentCleaner(
         args.prep_path, unet_features=args.unet_features,

@@ -58,13 +58,16 @@ def load_gray(path: str) -> np.ndarray:
     return np.asarray(img, np.float32) / 255.0
 
 
-def pad_white(img: np.ndarray, h: int, w: int) -> np.ndarray:
+def pad_white(img: np.ndarray, h: int, w: int,
+              return_geometry: bool = False):
     """Center-pad to (h, w) with white; aspect-preserving shrink when larger
-    (reference PadWhite / PatchDataset padding semantics)."""
+    (reference PadWhite / PatchDataset padding semantics). With
+    `return_geometry`, also returns (top, left, content_h, content_w) so the
+    content region can be cropped back out (serving path)."""
     from PIL import Image
     ih, iw = img.shape
     if ih > h or iw > w:
-        pil = Image.fromarray((img * 255).astype(np.uint8))
+        pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
         pil.thumbnail((w, h))
         img = np.asarray(pil, np.float32) / 255.0
         ih, iw = img.shape
@@ -72,6 +75,8 @@ def pad_white(img: np.ndarray, h: int, w: int) -> np.ndarray:
     left = (w - iw) // 2
     out = np.ones((h, w), np.float32)
     out[top:top + ih, left:left + iw] = img
+    if return_geometry:
+        return out, (top, left, ih, iw)
     return out
 
 

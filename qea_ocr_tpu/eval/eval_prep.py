@@ -53,6 +53,8 @@ class EvalPrepConfig:
     doc_size: tuple = C.DOC_SIZE
     synthetic_docs: int = 8
     synthetic_size: int = 64
+    synthetic_strips_per_doc: int = 8   # strips rendered per synthetic doc
+                                        # (match the training world)
     corruption: Optional[dict] = None
     random_seed: int = 42
 
@@ -79,6 +81,7 @@ class EvalPrep:
         if cfg.dataset == "synthetic_patch":
             self.dataset = PatchDocuments.synthetic(
                 cfg.synthetic_docs, seed=cfg.random_seed,
+                n_strips=cfg.synthetic_strips_per_doc,
                 max_strips=cfg.max_strips, corruption=cfg.corruption,
                 doc_size=cfg.doc_size)
         elif cfg.dataset == "synthetic_area":

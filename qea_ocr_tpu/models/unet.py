@@ -209,12 +209,14 @@ class UNet(nn.Module):
             dtype=self.compute_dtype, param_dtype=self.param_dtype, name=name,
         )
 
+        pblk_cls = (nn.remat(PackedUNetBlock, static_argnums=(2,))
+                    if self.remat else PackedUNetBlock)
         if self.mxu_packed:
             # levels 1-2 in packed space; deep levels (>=4f channels) vanilla
-            e1p = PackedUNetBlock(f, name="enc1", **kw)(
+            e1p = pblk_cls(f, name="enc1", **kw)(
                 space_to_depth(x), train)                  # (H/2,W/2,4f)
             pool1 = parity_max(e1p)                        # == pool(enc1)
-            e2p = PackedUNetBlock(f * 2, name="enc2", **kw)(
+            e2p = pblk_cls(f * 2, name="enc2", **kw)(
                 space_to_depth(pool1), train)              # (H/4,W/4,8f)
             pool2 = parity_max(e2p)                        # == pool(enc2)
         else:
@@ -234,11 +236,11 @@ class UNet(nn.Module):
 
         if self.mxu_packed:
             up2 = PackedUpconv(f * 2, name="upconv2", **kw)(dec3)
-            d2p = PackedUNetBlock(f * 2, in_splits=2, name="dec2", **kw)(
+            d2p = pblk_cls(f * 2, in_splits=2, name="dec2", **kw)(
                 jnp.concatenate([up2, e2p], -1), train)    # (H/4,W/4,8f)
             up1 = PackedUpconv(f, name="upconv1", **kw)(
                 depth_to_space(d2p))
-            d1p = PackedUNetBlock(f, in_splits=2, name="dec1", **kw)(
+            d1p = pblk_cls(f, in_splits=2, name="dec1", **kw)(
                 jnp.concatenate([up1, e1p], -1), train)    # (H/2,W/2,4f)
             out = PackedFinalConv(self.out_channels, name="Conv_0", **kw)(d1p)
             out = jax.nn.sigmoid(out.astype(jnp.float32))

@@ -71,20 +71,12 @@ class DocumentCleaner:
     # ------------------------------------------------------------------
     def _fit(self, img: np.ndarray) -> Tuple[np.ndarray, _Geometry]:
         """White-pad `img` (H, W) into the processing canvas; shrink
-        aspect-preserving when larger (PatchDocuments parity)."""
-        h, w = self.doc_size
-        ih, iw = img.shape
-        if ih > h or iw > w:
-            from PIL import Image
-            pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
-            pil.thumbnail((w, h))
-            img = np.asarray(pil, np.float32) / 255.0
-            ih, iw = img.shape
-        top = (h - ih) // 2
-        left = (w - iw) // 2
-        canvas = np.ones((h, w), np.float32)
-        canvas[top:top + ih, left:left + iw] = img
-        return canvas, _Geometry(top, left, ih, iw)
+        aspect-preserving when larger (same `pad_white` geometry the
+        datasets use)."""
+        from qea_ocr_tpu.data.datasets import pad_white
+        canvas, geom = pad_white(np.asarray(img, np.float32), *self.doc_size,
+                                 return_geometry=True)
+        return canvas, _Geometry(*geom)
 
     def clean_arrays(self, images: Sequence[np.ndarray]) -> List[np.ndarray]:
         """Clean a list of (H, W) float [0,1] grayscale images. Returns the
@@ -129,10 +121,13 @@ class DocumentCleaner:
     def clean_dir(self, input_dir: str, output_dir: str, *,
                   ocr=None, transcripts_path: Optional[str] = None,
                   exts=("png", "jpg", "jpeg")) -> dict:
-        """Clean every image under `input_dir` into `output_dir` (flat,
-        `<stem>.png`). With an OCR backend, transcribe each cleaned document
-        (whole-image word list) into `transcripts_path` (JSON
-        {filename: [words...]}).
+        """Clean every image under `input_dir` into `output_dir`. Output
+        names mirror the input-relative path with '/' flattened to '__'
+        (so `sub1/page.png` and `sub2/page.png` cannot clobber each other).
+        With an OCR backend, each cleaned document is transcribed
+        (whole-image word list), keyed by its input-relative path; the dict
+        is returned in the result ("transcriptions") and also written to
+        `transcripts_path` when given.
 
         Double-buffered: result k is fetched only after batch k+1 is
         dispatched, so host PNG-encode/OCR overlaps device compute."""
@@ -149,23 +144,30 @@ class DocumentCleaner:
             fitted = [self._fit(load_gray(p)) for p in chunk]
             dev = self._dispatch([c for c, _ in fitted])
             if pending is not None:
-                n_done += self._finish(pending, output_dir, ocr, transcripts)
+                n_done += self._finish(pending, input_dir, output_dir, ocr,
+                                       transcripts)
             pending = (dev, [g for _, g in fitted], chunk)
         if pending is not None:
-            n_done += self._finish(pending, output_dir, ocr, transcripts)
+            n_done += self._finish(pending, input_dir, output_dir, ocr,
+                                   transcripts)
 
         if ocr is not None and transcripts_path:
             with open(transcripts_path, "w") as f:
                 json.dump(transcripts, f, indent=1)
-        return {"num_documents": n_done, "output_dir": output_dir,
-                "transcripts": transcripts_path if ocr is not None else None}
+        result = {"num_documents": n_done, "output_dir": output_dir,
+                  "transcripts": transcripts_path if ocr is not None else None}
+        if ocr is not None:
+            result["transcriptions"] = transcripts
+        return result
 
-    def _finish(self, pending, output_dir, ocr, transcripts) -> int:
+    def _finish(self, pending, input_dir, output_dir, ocr,
+                transcripts) -> int:
         dev, geoms, chunk_paths = pending
         cleaned = self._crop(np.asarray(dev), geoms)
         for path, img in zip(chunk_paths, cleaned):
-            stem = os.path.splitext(os.path.basename(path))[0]
+            rel = os.path.relpath(path, input_dir)
+            stem = os.path.splitext(rel)[0].replace(os.sep, "__")
             save_image_png(img, os.path.join(output_dir, stem + ".png"))
             if ocr is not None:
-                transcripts[os.path.basename(path)] = ocr.get_string(img)
+                transcripts[rel] = ocr.get_string(img)
         return len(cleaned)

@@ -47,5 +47,5 @@ def default_mxu_packed() -> bool:
     mid-batch serving/latency workloads."""
     env = os.environ.get("QEA_MXU_PACKED")
     if env is not None:
-        return env not in ("0", "false", "False")
+        return env.strip().lower() not in ("", "0", "false", "no", "off")
     return False

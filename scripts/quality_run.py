@@ -24,6 +24,10 @@ OUT = os.environ.get("QUALITY_OUT", "/tmp/quality_run")
 # 0.75 -> 25% budget; 0.96 -> 4% budget (the reference's headline point,
 # README.md:34 `--minibatch_subset_prop 0.95`).
 BUDGET_PROP = float(os.environ.get("BUDGET_PROP", 0.75))
+# Budget floor granularity: selection keeps >=1 strip per document
+# (reference `max(1, ceil(N*(1-prop)))`, train_nn_patch.py:255-256), so the
+# lowest reachable budget is 1/STRIPS_PER_DOC.
+STRIPS_PER_DOC = int(os.environ.get("STRIPS_PER_DOC", 8))
 
 
 def main():
@@ -60,7 +64,8 @@ def main():
         epochs=int(os.environ.get("PATCH_EPOCHS", 20)),
         ocr="Fake", dataset="synthetic",
         synthetic_train_docs=256, synthetic_val_docs=16,
-        synthetic_strips_per_doc=8, max_strips=8, batch_docs=8,
+        synthetic_strips_per_doc=STRIPS_PER_DOC,
+        max_strips=STRIPS_PER_DOC, batch_docs=8,
         corruption=CORRUPTION,
         minibatch_subset="rangeCER", minibatch_subset_prop=BUDGET_PROP,
         inner_limit=2, inner_limit_skip=True, window_size=3,
@@ -83,7 +88,8 @@ def main():
                        key=os.path.getmtime)
     ev = EvalPrep(EvalPrepConfig(
         prep_path=ckpts[-1], dataset="synthetic_patch", ocr="Fake",
-        synthetic_docs=16, max_strips=8, batch_docs=8,
+        synthetic_docs=16, max_strips=STRIPS_PER_DOC,
+        synthetic_strips_per_doc=STRIPS_PER_DOC, batch_docs=8,
         corruption=CORRUPTION, random_seed=1234, show_orig=True))
     acc, cer = ev.eval()
     summary = dict(cleaned_acc=acc, cleaned_cer=cer,
