@@ -55,6 +55,40 @@ def test_clean_arrays_geometry(prep_ckpt):
         assert np.isfinite(o).all() and 0.0 <= o.min() and o.max() <= 1.0
 
 
+def test_clean_dir_duplicate_basenames(prep_ckpt, tmp_path):
+    from qea_ocr_tpu.serve import DocumentCleaner
+
+    rng = np.random.default_rng(5)
+    for sub in ("a", "b"):
+        os.makedirs(tmp_path / "docs" / sub)
+        img, _ = make_document(rng, doc_h=DOC[0], doc_w=DOC[1], n_strips=2)
+        save_image_png(img, str(tmp_path / "docs" / sub / "page.png"))
+    cleaner = DocumentCleaner(prep_ckpt, unet_features=4, doc_size=DOC,
+                              batch_size=4)
+    from qea_ocr_tpu.ocr.base import get_ocr_helper
+    result = cleaner.clean_dir(str(tmp_path / "docs"),
+                               str(tmp_path / "out"),
+                               ocr=get_ocr_helper("Fake", is_eval=True))
+    assert result["num_documents"] == 2
+    assert sorted(os.listdir(tmp_path / "out")) == \
+        ["a__page.png", "b__page.png"]
+    # transcriptions keyed by relative path, returned without a JSON path
+    assert sorted(result["transcriptions"]) == ["a/page.png", "b/page.png"]
+
+
+def test_mxu_packed_env_parsing(monkeypatch):
+    from qea_ocr_tpu.utils.platform import default_mxu_packed
+
+    for off in ("0", "false", "FALSE", "no", "off", ""):
+        monkeypatch.setenv("QEA_MXU_PACKED", off)
+        assert default_mxu_packed() is False, off
+    for on in ("1", "true", "yes"):
+        monkeypatch.setenv("QEA_MXU_PACKED", on)
+        assert default_mxu_packed() is True, on
+    monkeypatch.delenv("QEA_MXU_PACKED")
+    assert default_mxu_packed() is False  # vanilla is the measured default
+
+
 def test_clean_docs_cli(prep_ckpt, doc_dir, tmp_path, capsys):
     from qea_ocr_tpu.cli.clean_docs import main
 
