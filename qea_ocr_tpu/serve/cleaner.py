@@ -64,9 +64,14 @@ class DocumentCleaner:
 
         @jax.jit
         def fwd(state, images):
-            return self.model.apply(state.variables, images, train=False)
+            out = self.model.apply(state.variables, images, train=False)
+            # quantize on device: the host link (tunneled TPUs especially)
+            # is the serving bottleneck — uint8 moves 4x less than float32
+            # and is what the PNG encoder wants anyway
+            return jnp.round(out * 255.0).clip(0, 255).astype(jnp.uint8)
 
         self._fwd = fwd
+        self._pool = None   # lazy PNG-writer thread pool
 
     # ------------------------------------------------------------------
     def _fit(self, img: np.ndarray) -> Tuple[np.ndarray, _Geometry]:
@@ -80,12 +85,13 @@ class DocumentCleaner:
 
     def clean_arrays(self, images: Sequence[np.ndarray]) -> List[np.ndarray]:
         """Clean a list of (H, W) float [0,1] grayscale images. Returns the
-        cleaned content regions at processing resolution (shrunk inputs stay
-        shrunk — the model was trained at `doc_size`)."""
+        cleaned content regions (float [0,1]) at processing resolution
+        (shrunk inputs stay shrunk — the model was trained at `doc_size`)."""
         out: List[np.ndarray] = []
         for batch, geoms in self._batches(iter(images)):
             cleaned = np.asarray(self._dispatch(batch))
-            out.extend(self._crop(cleaned, geoms))
+            out.extend(c.astype(np.float32) / 255.0
+                       for c in self._crop(cleaned, geoms))
         return out
 
     # ------------------------------------------------------------------
@@ -162,12 +168,20 @@ class DocumentCleaner:
 
     def _finish(self, pending, input_dir, output_dir, ocr,
                 transcripts) -> int:
+        from concurrent.futures import ThreadPoolExecutor
         dev, geoms, chunk_paths = pending
-        cleaned = self._crop(np.asarray(dev), geoms)
-        for path, img in zip(chunk_paths, cleaned):
+        cleaned = self._crop(np.asarray(dev), geoms)      # uint8 crops
+
+        def write(args):
+            path, img = args
             rel = os.path.relpath(path, input_dir)
             stem = os.path.splitext(rel)[0].replace(os.sep, "__")
             save_image_png(img, os.path.join(output_dir, stem + ".png"))
             if ocr is not None:
-                transcripts[rel] = ocr.get_string(img)
+                transcripts[rel] = ocr.get_string(
+                    img.astype(np.float32) / 255.0)
+
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=4)
+        list(self._pool.map(write, zip(chunk_paths, cleaned)))
         return len(cleaned)

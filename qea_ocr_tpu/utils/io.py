@@ -52,12 +52,14 @@ def load_json(path: str) -> Any:
 
 
 def save_image_png(img: np.ndarray, path: str) -> None:
-    """Save a (H, W) or (1, H, W) float [0,1] image as PNG."""
+    """Save a (H, W) or (1, H, W) image as PNG — float [0,1] or uint8."""
     from PIL import Image
     img = np.asarray(img)
     if img.ndim == 3:
         img = img[0]
-    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8), "L").save(path)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    Image.fromarray(img, "L").save(path)
 
 
 def save_image_grid(images: np.ndarray, path: str, nrow: int = 8,
