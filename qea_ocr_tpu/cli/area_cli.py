@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr_scheduler", choices=["cosine"])
     p.add_argument("--synthetic_train_size", type=int, default=128)
     p.add_argument("--synthetic_val_size", type=int, default=32)
+    p.add_argument("--prep_pretrain_epochs", type=int, default=0,
+                   help="identity/denoise UNet pretraining epochs")
+    p.add_argument("--prep_pretrain_lr", type=float, default=1e-3)
     p.add_argument("--use_wandb", action="store_true")
     return p
 
@@ -82,6 +85,8 @@ def config_from_args(args) -> AreaTrainerConfig:
         lr_scheduler=args.lr_scheduler,
         synthetic_train_size=args.synthetic_train_size,
         synthetic_val_size=args.synthetic_val_size, use_wandb=args.use_wandb,
+        prep_pretrain_epochs=args.prep_pretrain_epochs,
+        prep_pretrain_lr=args.prep_pretrain_lr,
     )
 
 

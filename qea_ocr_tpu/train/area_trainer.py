@@ -84,6 +84,11 @@ class AreaTrainerConfig:
     discount_factor: float = 1.0
     lr_scheduler: Optional[str] = None   # None | "cosine"
     # TPU-native additions
+    prep_pretrain_epochs: int = 0  # identity/denoise UNet pretraining before
+                                   # the budget loop (skipped when a
+                                   # --prep_model checkpoint is loaded);
+                                   # same mechanism as the patch trainer
+    prep_pretrain_lr: float = 1e-3
     synthetic_train_size: int = 128
     synthetic_val_size: int = 32
     corruption: Optional[dict] = None
@@ -135,6 +140,21 @@ def make_area_steps(prep_model, crnn_model, charmap, *, sec_loss_scalar=1.0):
         new_ent = ent_table.at[strip_ids].set(mean_sequence_entropy(scores))
         return new_prep, new_crnn, img_out, dict(loss=loss, cers=cers), new_cer, new_ent
 
+    @partial(jax.jit, donate_argnums=(0,))
+    def prep_pretrain_step(prep_state, images):
+        """Identity/denoise pretraining: MSE(prep(x), x) on word crops."""
+        def loss_fn(params):
+            out, updates = prep_model.apply(
+                {"params": params, "batch_stats": prep_state.batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            return jnp.mean((out - images) ** 2), updates["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(prep_state.params)
+        new_state = prep_state.apply_gradients(
+            scrub_nonfinite(grads)).replace(batch_stats=new_bs)
+        return new_state, loss
+
     @jax.jit
     def val_forward(prep_state, crnn_state, images, gt_labels, gt_lengths):
         img_out = prep_model.apply(prep_state.variables, images, train=False)
@@ -145,6 +165,7 @@ def make_area_steps(prep_model, crnn_model, charmap, *, sec_loss_scalar=1.0):
         return img_out, dec, dec_len, loss
 
     return SimpleNamespace(prep_forward=prep_forward, phase_b=phase_b,
+                           prep_pretrain_step=prep_pretrain_step,
                            val_forward=val_forward)
 
 
@@ -264,8 +285,29 @@ class TrainNNPrepArea:
                                  jnp.asarray(labs), jnp.asarray(valid))
 
     # ------------------------------------------------------------------
+    def _prep_pretrain(self):
+        """Identity/denoise pretraining epochs for the UNet (patch-trainer
+        mechanism on word crops)."""
+        cfg = self.cfg
+        self.prep_state = set_learning_rate(self.prep_state,
+                                            cfg.prep_pretrain_lr)
+        for epoch in range(cfg.prep_pretrain_epochs):
+            total, n = 0.0, 0
+            for batch in batch_iterator(
+                    self.train_ds, cfg.batch_size,
+                    partial(collate_words, charmap=self.charmap),
+                    seed=cfg.random_seed + 7000, epoch=epoch):
+                self.prep_state, loss = self.steps.prep_pretrain_step(
+                    self.prep_state, jnp.asarray(batch.images))
+                total += float(loss)
+                n += 1
+            print(f"[prep-pretrain] epoch {epoch} mse {total / max(1, n):.5f}")
+        self.prep_state = set_learning_rate(self.prep_state, cfg.lr_prep)
+
     def train(self):
         cfg = self.cfg
+        if cfg.prep_pretrain_epochs and not cfg.prep_model:
+            self._prep_pretrain()
         B = cfg.batch_size
         L = self.charmap.max_len
         W = cfg.window_size

@@ -1,0 +1,83 @@
+"""End-to-end quality validation of the AREA trainer (word-crop path).
+
+Counterpart of scripts/quality_run.py for `train_nn_area`-style training:
+pre-cropped word images go straight through the UNet, budget selection
+operates per minibatch (reference `train_nn_area.py:220-233`). Success
+criterion: OCR accuracy on cleaned crops beats the original corrupted
+crops on a held-out set, under the query budget.
+
+Env knobs: BUDGET_PROP (default 0.75), AREA_EPOCHS, PREP_PRETRAIN,
+CRNN_CKPT (reuse a warmed-up proxy), QUALITY_OUT.
+"""
+
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CORRUPTION = dict(noise_std=0.18, shading=0.25, salt_pepper=0.01)
+OUT = os.environ.get("QUALITY_OUT", "/tmp/quality_area")
+BUDGET_PROP = float(os.environ.get("BUDGET_PROP", 0.75))
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    t0 = time.time()
+
+    crnn_ckpt = os.environ.get("CRNN_CKPT")
+    if not crnn_ckpt:
+        from qea_ocr_tpu.train.crnn_trainer import CrnnTrainerConfig, TrainCRNN
+        warm = TrainCRNN(CrnnTrainerConfig(
+            batch_size=64, lr=3e-4,
+            epochs=int(os.environ.get("WARM_EPOCHS", 30)),
+            dataset="synthetic", synthetic_train_size=4096,
+            synthetic_val_size=256, corruption=CORRUPTION, ocr=None, std=3,
+            crnn_model_path=os.path.join(OUT, "crnn/model"),
+            log_dir=os.path.join(OUT, "crnn")))
+        best_acc, best_epoch = warm.train()
+        print(f"[warmup] best acc {best_acc:.3f} @ {best_epoch}", flush=True)
+        crnn_ckpt = sorted(glob.glob(os.path.join(OUT, "crnn/model_*")),
+                           key=os.path.getmtime)[-1]
+
+    from qea_ocr_tpu.train.area_trainer import AreaTrainerConfig, TrainNNPrepArea
+    cfg = AreaTrainerConfig(
+        epochs=int(os.environ.get("AREA_EPOCHS", 30)),
+        ocr="Fake", dataset="synthetic",
+        synthetic_train_size=2048, synthetic_val_size=256,
+        batch_size=64, corruption=CORRUPTION,
+        minibatch_subset="rangeCER", minibatch_subset_prop=BUDGET_PROP,
+        inner_limit=2, inner_limit_skip=True, window_size=3,
+        weightgen_method="decaying", scalar=0.1,
+        prep_pretrain_epochs=int(os.environ.get("PREP_PRETRAIN", 6)),
+        lr_prep=5e-5, lr_crnn=1e-4,
+        crnn_model=crnn_ckpt,
+        exp_base_path=os.path.join(OUT, "area"))
+    trainer = TrainNNPrepArea(cfg)
+    best_acc, best_epoch = trainer.train()
+    print(f"[area] best OCR acc on cleaned crops {best_acc:.3f} @ epoch "
+          f"{best_epoch}; total bb calls {trainer.ocr.total_calls} "
+          f"({time.time() - t0:.0f}s)", flush=True)
+
+    from qea_ocr_tpu.eval.eval_prep import EvalPrep, EvalPrepConfig
+    ckpts = glob.glob(os.path.join(OUT, "area/ckpts/Prep_model_best")) or \
+        sorted(glob.glob(os.path.join(OUT, "area/ckpts/Prep_model_*")),
+               key=os.path.getmtime)
+    ev = EvalPrep(EvalPrepConfig(
+        prep_path=ckpts[-1], dataset="synthetic_area", ocr="Fake",
+        synthetic_size=256, batch_size=64,
+        corruption=CORRUPTION, random_seed=1234, show_orig=True))
+    acc, cer = ev.eval()
+    summary = dict(cleaned_acc=acc, cleaned_cer=cer,
+                   best_train_val_acc=best_acc,
+                   budget=round(1.0 - BUDGET_PROP, 4),
+                   total_seconds=round(time.time() - t0, 1))
+    with open(os.path.join(OUT, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print("[summary]", json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
