@@ -39,15 +39,21 @@ def main():
     if not crnn_ckpt:
         # ------------- 1. CRNN warmup ----------------------------------
         from qea_ocr_tpu.train.crnn_trainer import CrnnTrainerConfig, TrainCRNN
-        # GT-label warmup: on the synthetic world FakeOCR output == GT for
-        # readable strips, and skipping the host OCR makes epochs
-        # device-bound, allowing the thousands of CTC steps a CRNN needs.
+        # Warm the proxy on the BLACK BOX's outputs by default (reference
+        # OCRDataset semantics, `datasets/ocr_dataset.py:40`): the proxy
+        # must mimic the OCR including its failures, or phase A drags a
+        # GT-perfect reader toward garbage labels and the prep optimizes
+        # against a broken proxy. WARMUP_OCR=gt opts into GT-label warmup
+        # (device-bound, faster; adequate when the OCR is strong on this
+        # world's corruption level).
+        warm_ocr = os.environ.get("WARMUP_OCR", "Fake")
         warm_cfg = CrnnTrainerConfig(
             batch_size=64, lr=3e-4,
             epochs=int(os.environ.get("WARM_EPOCHS", 30)),
             dataset="synthetic",
             synthetic_train_size=4096, synthetic_val_size=256,
-            corruption=CORRUPTION, ocr=None, std=3,
+            corruption=CORRUPTION,
+            ocr=None if warm_ocr == "gt" else warm_ocr, std=3,
             crnn_model_path=os.path.join(OUT, "crnn/model"),
             log_dir=os.path.join(OUT, "crnn"))
         warm = TrainCRNN(warm_cfg)

@@ -18,7 +18,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CORRUPTION = dict(noise_std=0.18, shading=0.25, salt_pepper=0.01)
+# Default corruption calibrated so the black box starts PARTIALLY
+# functional on raw crops (~60% exact match — the reference's Tesseract-on-
+# POS regime): at (0.18, 0.25, 0.01) FakeOCR reads only ~16% of raw
+# 32x128 crops and the proxy has nothing learnable to mimic. Override with
+# CORRUPTION='{"noise_std":...,"shading":...,"salt_pepper":...}'.
+CORRUPTION = json.loads(os.environ.get(
+    "CORRUPTION",
+    '{"noise_std": 0.14, "shading": 0.18, "salt_pepper": 0.007}'))
 OUT = os.environ.get("QUALITY_OUT", "/tmp/quality_area")
 BUDGET_PROP = float(os.environ.get("BUDGET_PROP", 0.75))
 
@@ -30,11 +37,19 @@ def main():
     crnn_ckpt = os.environ.get("CRNN_CKPT")
     if not crnn_ckpt:
         from qea_ocr_tpu.train.crnn_trainer import CrnnTrainerConfig, TrainCRNN
+        # Warm the proxy on the BLACK BOX's outputs (reference OCRDataset
+        # semantics, `datasets/ocr_dataset.py:40`): the algorithm needs the
+        # CRNN to mimic the OCR — including its failures on corrupted
+        # input — before budget training starts. Warming on GT labels makes
+        # phase A drag a perfect reader toward garbage OCR labels and the
+        # prep then optimizes against a broken proxy (observed: word-crop
+        # training collapses by epoch 6 with a GT-warmed proxy).
         warm = TrainCRNN(CrnnTrainerConfig(
             batch_size=64, lr=3e-4,
             epochs=int(os.environ.get("WARM_EPOCHS", 30)),
             dataset="synthetic", synthetic_train_size=4096,
-            synthetic_val_size=256, corruption=CORRUPTION, ocr=None, std=3,
+            synthetic_val_size=256, corruption=CORRUPTION,
+            ocr=os.environ.get("WARMUP_OCR", "Fake"), std=3,
             crnn_model_path=os.path.join(OUT, "crnn/model"),
             log_dir=os.path.join(OUT, "crnn")))
         best_acc, best_epoch = warm.train()
