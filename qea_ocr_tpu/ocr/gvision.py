@@ -12,7 +12,7 @@ Counterpart of reference `ocr_helper/gcloud_helper.py:31-137`:
 from __future__ import annotations
 
 import io
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

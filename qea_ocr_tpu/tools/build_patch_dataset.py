@@ -16,7 +16,6 @@ import json
 import os
 import shutil
 
-import numpy as np
 
 from qea_ocr_tpu.data.datasets import find_images, load_gray
 

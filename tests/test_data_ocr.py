@@ -2,7 +2,6 @@
 OCR subsystem tests (async engine, budget accounting, GVision mock)."""
 
 import json
-import os
 
 import numpy as np
 import pytest

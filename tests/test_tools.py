@@ -2,12 +2,9 @@
 CLI, sweep fallback."""
 
 import json
-import os
 
 import numpy as np
-import pytest
 
-from qea_ocr_tpu.utils.charmap import CharMap
 
 
 class TestCerSeed:
