@@ -65,9 +65,18 @@ def main():
         batch_size=64, corruption=CORRUPTION,
         minibatch_subset="rangeCER", minibatch_subset_prop=BUDGET_PROP,
         inner_limit=2, inner_limit_skip=True, window_size=3,
-        weightgen_method="decaying", scalar=0.1,
+        weightgen_method="decaying",
+        # scalar=1.0 is the reference default (`area_cli.py --scalar 1`) and
+        # measurably the most stable here: the white-anchor MSE counteracts
+        # proxy-hacking drift (prep warping glyphs the robust CRNN still
+        # reads but the template-matching black box does not). Probe matrix
+        # (10-epoch val-acc trajectories): scalar 0 -> chaotic collapse to
+        # ~5%; 0.1 -> monotone decay; 1.0 + lr_prep 5e-5 -> oscillates;
+        # 1.0 + lr_prep 2e-5 -> holds ~69% for 4 epochs before drifting.
+        scalar=float(os.environ.get("SCALAR", 1.0)),
         prep_pretrain_epochs=int(os.environ.get("PREP_PRETRAIN", 6)),
-        lr_prep=5e-5, lr_crnn=1e-4,
+        lr_prep=float(os.environ.get("LR_PREP", 2e-5)),
+        lr_crnn=float(os.environ.get("LR_CRNN", 1e-4)),
         crnn_model=crnn_ckpt,
         exp_base_path=os.path.join(OUT, "area"))
     trainer = TrainNNPrepArea(cfg)
