@@ -19,6 +19,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CORRUPTION = dict(noise_std=0.18, shading=0.25, salt_pepper=0.01)
+# The warmup trains on ISOLATED word crops, where per-crop corruption at
+# the document-level parameters is much harsher than the strips actually
+# extracted from corrupted documents (FakeOCR reads ~16% of such crops vs
+# ~55% of document strips). Warm up at a crop-level corruption calibrated
+# to the strip distribution so the proxy mimics the OCR's behavior on the
+# inputs it will actually see.
+WARMUP_CORRUPTION = json.loads(os.environ.get(
+    "WARMUP_CORRUPTION",
+    '{"noise_std": 0.14, "shading": 0.18, "salt_pepper": 0.007}'))
 OUT = os.environ.get("QUALITY_OUT", "/tmp/quality_run")
 # Query budget: fraction of strips per batch NOT sent to the OCR.
 # 0.75 -> 25% budget; 0.96 -> 4% budget (the reference's headline point,
@@ -52,7 +61,7 @@ def main():
             epochs=int(os.environ.get("WARM_EPOCHS", 30)),
             dataset="synthetic",
             synthetic_train_size=4096, synthetic_val_size=256,
-            corruption=CORRUPTION,
+            corruption=WARMUP_CORRUPTION,
             ocr=None if warm_ocr == "gt" else warm_ocr, std=3,
             crnn_model_path=os.path.join(OUT, "crnn/model"),
             log_dir=os.path.join(OUT, "crnn"))
