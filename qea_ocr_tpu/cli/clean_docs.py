@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--doc_size", type=int, nargs=2, default=None,
                    metavar=("H", "W"),
                    help="processing canvas (default: config DOC_SIZE)")
+    p.add_argument("--mxu_packed", action="store_true",
+                   help="space-to-depth packed conv layout — measured "
+                        "faster at serving batches 8-32 on TPU (ops/s2d.py)")
     return p
 
 
@@ -47,6 +50,8 @@ def main(argv=None):
     if args.ocr and ocr is None:
         raise ValueError(f"unknown OCR backend {args.ocr!r}")
     kw = {"doc_size": tuple(args.doc_size)} if args.doc_size else {}
+    if args.mxu_packed:
+        kw["mxu_packed"] = True
     cleaner = DocumentCleaner(
         args.prep_path, unet_features=args.unet_features,
         batch_size=args.batch_size, **kw)

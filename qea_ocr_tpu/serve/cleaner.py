@@ -47,15 +47,17 @@ class DocumentCleaner:
     """Fixed-shape batched UNet inference for document cleaning."""
 
     def __init__(self, prep_path: str, *, unet_features: int = 32,
-                 doc_size: Tuple[int, int] = C.DOC_SIZE, batch_size: int = 8):
+                 doc_size: Tuple[int, int] = C.DOC_SIZE, batch_size: int = 8,
+                 mxu_packed: bool | None = None):
         import jax
         import jax.numpy as jnp
 
         self.doc_size = tuple(doc_size)
         self.batch_size = int(batch_size)
-        from qea_ocr_tpu.utils.platform import default_mxu_packed
-        self.model = UNet(init_features=unet_features,
-                          mxu_packed=default_mxu_packed())
+        if mxu_packed is None:
+            from qea_ocr_tpu.utils.platform import default_mxu_packed
+            mxu_packed = default_mxu_packed()
+        self.model = UNet(init_features=unet_features, mxu_packed=mxu_packed)
         variables = self.model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 1, *self.doc_size)),
             train=False)
