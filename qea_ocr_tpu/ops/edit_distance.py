@@ -19,8 +19,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.int32(1 << 20)
-
 
 def batched_levenshtein(
     a: jax.Array,
