@@ -6,3 +6,10 @@ from qea_ocr_tpu.parallel.mesh import (  # noqa: F401
     put_replicated,
     replicated,
 )
+from qea_ocr_tpu.parallel.tp import (  # noqa: F401
+    MODEL_AXIS,
+    make_mesh_2d,
+    put_batch_2d,
+    put_tp,
+    tp_spec,
+)

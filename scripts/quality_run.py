@@ -37,6 +37,10 @@ BUDGET_PROP = float(os.environ.get("BUDGET_PROP", 0.75))
 # (reference `max(1, ceil(N*(1-prop)))`, train_nn_patch.py:255-256), so the
 # lowest reachable budget is 1/STRIPS_PER_DOC.
 STRIPS_PER_DOC = int(os.environ.get("STRIPS_PER_DOC", 8))
+# Document size; synth lays out one strip row per STRIPS_PER_DOC, each 18px
+# tall, so doc_h // STRIPS_PER_DOC must be >= 18 to avoid row overlap
+# (e.g. the 4%-budget point: DOC_SIZE=512,512 STRIPS_PER_DOC=25).
+DOC_SIZE = tuple(int(v) for v in os.environ.get("DOC_SIZE", "400,512").split(","))
 
 
 def main():
@@ -81,6 +85,7 @@ def main():
         synthetic_train_docs=256, synthetic_val_docs=16,
         synthetic_strips_per_doc=STRIPS_PER_DOC,
         max_strips=STRIPS_PER_DOC, batch_docs=8,
+        doc_size=DOC_SIZE,
         corruption=CORRUPTION,
         minibatch_subset="rangeCER", minibatch_subset_prop=BUDGET_PROP,
         inner_limit=2, inner_limit_skip=True, window_size=3,
@@ -105,6 +110,7 @@ def main():
         prep_path=ckpts[-1], dataset="synthetic_patch", ocr="Fake",
         synthetic_docs=16, max_strips=STRIPS_PER_DOC,
         synthetic_strips_per_doc=STRIPS_PER_DOC, batch_docs=8,
+        doc_size=DOC_SIZE,
         corruption=CORRUPTION, random_seed=1234, show_orig=True))
     acc, cer = ev.eval()
     summary = dict(cleaned_acc=acc, cleaned_cer=cer,
