@@ -10,6 +10,10 @@ already resolved at dataset construction.
 from __future__ import annotations
 
 import dataclasses
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -72,9 +76,19 @@ def batch_iterator(
     seed: int = 0,
     epoch: int = 0,
     indices: Optional[np.ndarray] = None,
+    num_workers: int = 0,
+    prefetch: int = 0,
 ) -> Iterator:
     """Shuffled fixed-size batches; optional index subset (pruning /
-    image_prop subsampling parity with SubsetRandomSampler usage)."""
+    image_prop subsampling parity with SubsetRandomSampler usage).
+
+    `num_workers > 0` fetches the samples of a batch through a thread pool
+    (the counterpart of torch DataLoader workers, `properties.py:34` — PNG
+    decode in PIL releases the GIL; for OCRDataset the black-box call also
+    runs in the worker, matching reference `datasets/ocr_dataset.py:40`).
+    `prefetch > 0` assembles up to that many batches ahead on a background
+    thread so the host pipeline overlaps device steps.
+    """
     if indices is None:
         indices = np.arange(len(dataset))
     indices = np.asarray(indices)
@@ -83,8 +97,65 @@ def batch_iterator(
         indices = rng.permutation(indices)
     n = len(indices)
     end = n - (n % batch_size) if drop_last else n
-    for start in range(0, end, batch_size):
-        chunk = indices[start:start + batch_size]
-        if drop_last and len(chunk) < batch_size:
-            break
-        yield collate_fn([dataset[int(i)] for i in chunk])
+
+    def chunks():
+        for start in range(0, end, batch_size):
+            chunk = indices[start:start + batch_size]
+            if drop_last and len(chunk) < batch_size:
+                break
+            yield chunk
+
+    if num_workers > 0:
+        pool = ThreadPoolExecutor(max_workers=num_workers)
+
+        def produce():
+            for chunk in chunks():
+                samples = list(pool.map(
+                    lambda i: dataset[int(i)], chunk))
+                yield collate_fn(samples)
+        it = produce()
+    else:
+        it = (collate_fn([dataset[int(i)] for i in chunk])
+              for chunk in chunks())
+    try:
+        if prefetch > 0:
+            yield from prefetch_iterator(it, depth=prefetch)
+        else:
+            yield from it
+    finally:
+        if num_workers > 0:
+            pool.shutdown(wait=False)
+
+
+def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
+    """Run `it` on a background thread, keeping up to `depth` items ready.
+
+    Exceptions from the producer re-raise at the consumer's next pull.
+    """
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    done = object()
+
+    def producer():
+        try:
+            for item in it:
+                q.put((None, item))
+        except BaseException as e:  # noqa: BLE001 — forwarded to consumer
+            q.put((e, None))
+            return
+        q.put((None, done))
+
+    t = threading.Thread(target=producer, daemon=True, name="qea-prefetch")
+    t.start()
+    while True:
+        err, item = q.get()
+        if err is not None:
+            raise err
+        if item is done:
+            return
+        yield item
+
+
+def default_num_workers() -> int:
+    """Reference `properties.py:34` ships num_workers=4; QEA_NUM_WORKERS
+    overrides (0 = synchronous in-thread fetch)."""
+    return int(os.environ.get("QEA_NUM_WORKERS", "4"))

@@ -13,6 +13,7 @@ max_char_len collapse to EMPTY_CHAR. `is_eval=True` skips normalization.
 from __future__ import annotations
 
 import abc
+import threading
 from typing import List, Sequence
 
 import numpy as np
@@ -28,6 +29,13 @@ class OcrBackend(abc.ABC):
         self.empty_char = empty_char
         self.is_eval = is_eval
         self.count_calls = 0
+        # get_labels may be called concurrently (threaded dataset fetch,
+        # async OCR engine) — budget accounting must not drop increments.
+        self._count_lock = threading.Lock()
+
+    def _add_calls(self, n: int) -> None:
+        with self._count_lock:
+            self.count_calls += n
 
     @abc.abstractmethod
     def _recognize(self, image: np.ndarray) -> str:
@@ -48,7 +56,7 @@ class OcrBackend(abc.ABC):
                 if len(label) > MAX_CHAR_LEN:
                     label = self.empty_char
             labels.append(label)
-        self.count_calls += len(labels)
+        self._add_calls(len(labels))
         return labels
 
     def get_string(self, image: np.ndarray) -> List[str]:

@@ -83,7 +83,7 @@ class TesseractBackend(OcrBackend):
                 if len(label) > MAX_CHAR_LEN:
                     label = self.empty_char
             labels.append(label)
-        self.count_calls += len(labels)
+        self._add_calls(len(labels))
         return labels
 
     def get_string(self, image: np.ndarray) -> List[str]:

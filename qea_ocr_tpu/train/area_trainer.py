@@ -25,7 +25,8 @@ import numpy as np
 
 from qea_ocr_tpu import config as C
 from qea_ocr_tpu.data.datasets import ImgDataset, SyntheticWordDataset
-from qea_ocr_tpu.data.pipeline import batch_iterator, collate_words
+from qea_ocr_tpu.data.pipeline import (
+    batch_iterator, collate_words, default_num_workers)
 from qea_ocr_tpu.models import CRNN, HistoryAttention, UNet
 from qea_ocr_tpu.ocr.base import get_ocr_helper
 from qea_ocr_tpu.ocr.engine import OcrQueryEngine
@@ -334,7 +335,8 @@ class TrainNNPrepArea:
 
             for batch in batch_iterator(
                     self.train_ds, B, partial(collate_words, charmap=self.charmap),
-                    seed=cfg.random_seed, epoch=epoch):
+                    seed=cfg.random_seed, epoch=epoch,
+                    num_workers=default_num_workers(), prefetch=2):
                 images = jnp.asarray(batch.images)
                 img_preds = self.steps.prep_forward(self.prep_state, images)
 
@@ -486,7 +488,8 @@ class TrainNNPrepArea:
         count, batches = 0, 0
         for batch in batch_iterator(
                 self.val_ds, B, partial(collate_words, charmap=self.charmap),
-                shuffle=False, drop_last=True):
+                shuffle=False, drop_last=True,
+                num_workers=default_num_workers(), prefetch=2):
             img_out, dec, dec_len, loss = self.steps.val_forward(
                 self.prep_state, self.crnn_state, jnp.asarray(batch.images),
                 jnp.asarray(batch.labels), jnp.asarray(batch.lengths))

@@ -25,7 +25,8 @@ import numpy as np
 
 from qea_ocr_tpu import config as C
 from qea_ocr_tpu.data.datasets import ImgDataset, SyntheticWordDataset
-from qea_ocr_tpu.data.pipeline import WordBatch, batch_iterator, collate_words
+from qea_ocr_tpu.data.pipeline import (
+    WordBatch, batch_iterator, collate_words, default_num_workers)
 from qea_ocr_tpu.models import CRNN
 from qea_ocr_tpu.ocr.base import get_ocr_helper
 from qea_ocr_tpu.ocr.engine import OcrQueryEngine
@@ -186,7 +187,8 @@ class TrainCRNN:
             for batch in batch_iterator(
                     self.train_ds, cfg.batch_size,
                     partial(collate_words, charmap=self.charmap),
-                    seed=cfg.random_seed, epoch=epoch):
+                    seed=cfg.random_seed, epoch=epoch,
+                    num_workers=default_num_workers(), prefetch=2):
                 with self.timer.time("noise"):
                     noisy = self._noise(batch.images)
                 with self.timer.time("ocr"):

@@ -37,7 +37,8 @@ import numpy as np
 
 from qea_ocr_tpu import config as C
 from qea_ocr_tpu.data.datasets import PatchDocuments
-from qea_ocr_tpu.data.pipeline import DocBatch, batch_iterator, collate_docs
+from qea_ocr_tpu.data.pipeline import (
+    DocBatch, batch_iterator, collate_docs, default_num_workers)
 from qea_ocr_tpu.models import CRNN, HistoryAttention, UNet
 from qea_ocr_tpu.ocr.base import get_ocr_helper
 from qea_ocr_tpu.ocr.engine import OcrQueryEngine
@@ -385,7 +386,8 @@ class TrainNNPrep:
             pending = None
             for batch in batch_iterator(
                     self.dataset, D, collate_docs, seed=cfg.random_seed,
-                    epoch=epoch, indices=indices):
+                    epoch=epoch, indices=indices,
+                    num_workers=default_num_workers(), prefetch=2):
                 work = self._prepare_work(batch, epoch, n_jitter, N,
                                           epoch_print)
                 epoch_print = False
@@ -626,7 +628,8 @@ class TrainNNPrep:
         bb_calls_before = self.ocr.total_calls
         for batch in batch_iterator(
                 self.validation_set, D, collate_docs,
-                shuffle=False, drop_last=False):
+                shuffle=False, drop_last=False,
+                num_workers=default_num_workers(), prefetch=2):
             if batch.images.shape[0] != D:
                 continue  # static shapes; tail smaller than D skipped
             doc_out, strips, dec, dec_len, loss = self.steps.val_forward(
