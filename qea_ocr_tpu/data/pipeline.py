@@ -130,29 +130,46 @@ def batch_iterator(
 def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
     """Run `it` on a background thread, keeping up to `depth` items ready.
 
-    Exceptions from the producer re-raise at the consumer's next pull.
+    Exceptions from the producer re-raise at the consumer's next pull. If
+    the consumer abandons the iterator (break / exception in the batch
+    loop), the producer notices via a stop flag and exits instead of
+    blocking forever on the bounded queue with pinned batches.
     """
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     done = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in it:
-                q.put((None, item))
+                if not _put((None, item)):
+                    return
         except BaseException as e:  # noqa: BLE001 — forwarded to consumer
-            q.put((e, None))
+            _put((e, None))
             return
-        q.put((None, done))
+        _put((None, done))
 
     t = threading.Thread(target=producer, daemon=True, name="qea-prefetch")
     t.start()
-    while True:
-        err, item = q.get()
-        if err is not None:
-            raise err
-        if item is done:
-            return
-        yield item
+    try:
+        while True:
+            err, item = q.get()
+            if err is not None:
+                raise err
+            if item is done:
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def default_num_workers() -> int:

@@ -41,14 +41,20 @@ class OcrBackend(abc.ABC):
     def _recognize(self, image: np.ndarray) -> str:
         """OCR a single (H, W) float image in [0, 1]. Returns raw text."""
 
+    def _recognize_batch(self, images: np.ndarray) -> List[str]:
+        """Raw recognition of a (B, H, W) stack; subclasses override to
+        batch/parallelize (normalization and accounting stay in get_labels
+        so they exist exactly once)."""
+        return [self._recognize(images[i]) for i in range(images.shape[0])]
+
     def get_labels(self, images: np.ndarray | Sequence[np.ndarray]) -> List[str]:
         """OCR a batch. images: (B, H, W) or (B, 1, H, W) float [0,1]."""
         images = np.asarray(images)
         if images.ndim == 4:
             images = images[:, 0]
         labels = []
-        for i in range(images.shape[0]):
-            label = self._recognize(images[i]).strip()
+        for raw in self._recognize_batch(images):
+            label = raw.strip()
             if label == "":
                 label = self.empty_char
             if not self.is_eval:

@@ -65,26 +65,11 @@ class TesseractBackend(OcrBackend):
         api.SetImage(self._to_pil(image))
         return api.GetUTF8Text()
 
-    def get_labels(self, images: np.ndarray | Sequence[np.ndarray]) -> List[str]:
-        """Thread-pooled batch recognition (keeps OcrBackend normalization)."""
-        images = np.asarray(images)
-        if images.ndim == 4:
-            images = images[:, 0]
-        raw = list(self._pool.map(self._recognize, [images[i] for i in range(images.shape[0])]))
-        labels = []
-        for label in raw:
-            label = label.strip()
-            if label == "":
-                label = self.empty_char
-            if not self.is_eval:
-                from qea_ocr_tpu.config import MAX_CHAR_LEN
-                from qea_ocr_tpu.utils.charmap import get_ununicode
-                label = get_ununicode(label)
-                if len(label) > MAX_CHAR_LEN:
-                    label = self.empty_char
-            labels.append(label)
-        self._add_calls(len(labels))
-        return labels
+    def _recognize_batch(self, images: np.ndarray) -> List[str]:
+        """Thread-pooled recognition (normalization/accounting stay in the
+        base class get_labels)."""
+        return list(self._pool.map(
+            self._recognize, [images[i] for i in range(images.shape[0])]))
 
     def get_string(self, image: np.ndarray) -> List[str]:
         image = np.asarray(image)

@@ -41,6 +41,13 @@ STRIPS_PER_DOC = int(os.environ.get("STRIPS_PER_DOC", 8))
 # tall, so doc_h // STRIPS_PER_DOC must be >= 18 to avoid row overlap
 # (e.g. the 4%-budget point: DOC_SIZE=512,512 STRIPS_PER_DOC=25).
 DOC_SIZE = tuple(int(v) for v in os.environ.get("DOC_SIZE", "400,512").split(","))
+if DOC_SIZE[0] // STRIPS_PER_DOC < 18:
+    raise SystemExit(
+        f"DOC_SIZE height {DOC_SIZE[0]} fits only "
+        f"{DOC_SIZE[0] // 18} non-overlapping 18px strip rows; "
+        f"STRIPS_PER_DOC={STRIPS_PER_DOC} would overwrite earlier strips "
+        f"while the sidecar labels keep pointing at them. Raise DOC_SIZE "
+        f"(e.g. DOC_SIZE=512,512 for 25 strips).")
 
 
 def main():

@@ -7,7 +7,24 @@
 set -euo pipefail
 
 JOB_FILE=${JOB_FILE:-job_array}
-row=${TASK_ID:-${SLURM_ARRAY_TASK_ID:-$((${BATCH_TASK_INDEX:-0} + 1))}}
+if [ -n "${TASK_ID:-}" ]; then
+  row=$TASK_ID
+elif [ -n "${SLURM_ARRAY_TASK_ID:-}" ]; then
+  # rows are 1-based; SLURM arrays submitted 0-based shift up by one
+  row=$((SLURM_ARRAY_TASK_ID + ${JOB_ARRAY_BASE_OFFSET:-0}))
+elif [ -n "${BATCH_TASK_INDEX:-}" ]; then
+  row=$((BATCH_TASK_INDEX + 1))   # Cloud Batch indices are 0-based
+else
+  echo "set TASK_ID (1-based row of $JOB_FILE), or run under SLURM" \
+       "(SLURM_ARRAY_TASK_ID; add JOB_ARRAY_BASE_OFFSET=1 for --array=0-N)" \
+       "or Cloud Batch (BATCH_TASK_INDEX)" >&2
+  exit 1
+fi
+if [ "$row" -lt 1 ]; then
+  echo "row $row is invalid: rows are 1-based (0-based SLURM arrays need" \
+       "JOB_ARRAY_BASE_OFFSET=1)" >&2
+  exit 1
+fi
 
 command=$(sed -n "${row}p" "$JOB_FILE")
 [ -n "$command" ] || { echo "no row $row in $JOB_FILE" >&2; exit 1; }

@@ -92,11 +92,11 @@ def test_tp_spec_rules():
     assert tp_spec(np.zeros((128, 95)), n_model) == jax.sharding.PartitionSpec()
     # scalar: replicate
     assert tp_spec(np.float32(1.0), n_model) == jax.sharding.PartitionSpec()
-    # tiny vector below min_shard: replicate
-    assert tp_spec(np.zeros((2,)), n_model, min_shard=2) == \
-        jax.sharding.PartitionSpec(("model",)) or True  # divisible, 1 < 2
+    # tiny vector below min_shard (2 elems / 2 devices = 1 < 2): replicate
     assert tp_spec(np.zeros((2,)), n_model, min_shard=2) == \
         jax.sharding.PartitionSpec()
+    # large divisible vector: sharded
+    assert tp_spec(np.zeros((64,)), n_model)[-1] == "model"
 
 
 def test_two_phase_step_on_2d_mesh_matches_single_device():
