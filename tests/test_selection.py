@@ -28,6 +28,22 @@ class TestSelectBatchKernel:
         # never selects invalid slots
         assert not np.any(np.asarray(mask) & ~np.asarray(valid))
 
+    def test_budget_formula_float_wobble_parity(self):
+        """25 strips at prop=0.96: 25*(1-0.96) lands above 1.0 in both
+        python float64 (reference `math.ceil(num*(1-prop))`,
+        train_nn_patch.py:255-256) and device float32, so BOTH select k=2
+        (an 8% effective budget, not 4%). Pin the parity: anyone "fixing"
+        the wobble on one side silently diverges budget accounting from the
+        reference. An exact 4% floor uses prop=0.961 (see CLAUDE.md)."""
+        import math
+        assert math.ceil(25 * (1 - 0.96)) == 2  # reference-side behavior
+        est = jnp.zeros((1, 25))
+        valid = jnp.ones((1, 25), bool)
+        _, k = select_batch("random", jax.random.PRNGKey(0), est, valid, 0.96)
+        np.testing.assert_array_equal(np.asarray(k), [2])
+        _, k = select_batch("random", jax.random.PRNGKey(0), est, valid, 0.961)
+        np.testing.assert_array_equal(np.asarray(k), [1])
+
     def test_topk_selects_worst(self):
         est = jnp.asarray([[0.1, 0.9, 0.5, 0.8, 0.0, 0.3]])
         valid = jnp.ones((1, 6), bool)
