@@ -1,0 +1,222 @@
+"""Pallas TPU kernel for batched text-strip extraction (crop + white pad).
+
+The XLA lowering of `ops/text_stack.py` (vmapped take-of-take) spends
+~18 ms/step (fwd+bwd) at production shapes (96 docs x 16 strips) — TPU
+gathers are row-at-a-time VPU work. This kernel reformulates the crop as
+dense MXU permutation-matmuls, the TPU-native way to move data:
+
+  forward, per (doc d, strip s):
+    window  L = doc[wa_y : wa_y+40, wa_x : wa_x+256]
+    out     = P @ L @ Q + white
+  where P (32x40) / Q (256x128) are 0/1 shift matrices encoding the
+  vertical/horizontal offset of the crop inside the window AND the
+  valid-region mask (rows/cols outside the bbox stay zero, then the white
+  term sets them to 1.0). A 0/1 matmul at Precision.HIGHEST is exact in f32
+  (default TPU precision runs one bf16 pass and truncates the pixels).
+
+  Window alignment: Mosaic requires dynamic VMEM slices to start at
+  (sublane, lane)-tile boundaries — multiples of (8, 128) for f32. The
+  window start is therefore aligned DOWN to those multiples and the window
+  oversized to (32+8, 128+128) so it still contains the crop; the residual
+  sub-tile offset rides in the shift matrices. This needs docs with
+  H % 8 == 0, W % 128 == 0, H >= 40, W >= 256 (the dispatch in
+  ops/text_stack.py checks and falls back to XLA otherwise).
+
+  backward, per doc (serial over its strips — overlapping bboxes
+  accumulate without races):
+    dDoc[window] += P^T @ g @ Q^T
+
+Bboxes ride as scalar-prefetch (SMEM) so window addresses are known before
+the body runs. The doc block (1, H, W) stays resident in VMEM across the
+inner strip grid dimension. Parity with `get_text_stack_batch` (including
+degenerate/masked dummy boxes) is tested in tests/test_gather_pallas.py;
+interpreter mode covers CPU.
+
+Reference semantics: `utils.py:118-141` (crop, center-pad to (32,128) with
+white 1.0).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+H_OUT = 32
+W_OUT = 128
+# Aligned-window oversize: one extra sublane tile (8) / lane tile (128).
+WIN_H = H_OUT + 8
+WIN_W = W_OUT + 128
+
+
+def _window_params(bbox_ref, d, s, H, W):
+    """Scalar window math shared by fwd/bwd kernels.
+
+    Returns (ch, cw, off_y, off_x, wa_y, wa_x): crop size, offset of the
+    crop's top-left *output-relative* origin inside the aligned window, and
+    the aligned window start in the document.
+    """
+    x_min = bbox_ref[d, s, 0]
+    y_min = bbox_ref[d, s, 1]
+    x_max = bbox_ref[d, s, 2]
+    y_max = bbox_ref[d, s, 3]
+    ch = y_max - y_min
+    cw = x_max - x_min
+    pad_top = (H_OUT - ch) // 2
+    pad_left = (W_OUT - cw) // 2
+    y0 = y_min - pad_top
+    x0 = x_min - pad_left
+    ws_y = jnp.clip(y0, 0, H - H_OUT)
+    ws_x = jnp.clip(x0, 0, W - W_OUT)
+    # Align down to the f32 VMEM tile grid; clamp so the oversized window
+    # stays in bounds. wa <= ws and wa + WIN >= ws + OUT hold given
+    # H % 8 == 0 / W % 128 == 0 (see supports()). The multiply-by-tile is
+    # the OUTERMOST op so Mosaic can statically prove tile divisibility.
+    wa_y = (jnp.minimum(ws_y, H - WIN_H) // 8) * 8
+    wa_x = (jnp.minimum(ws_x, W - WIN_W) // 128) * 128
+    return ch, cw, y0 - wa_y, x0 - wa_x, wa_y, wa_x
+
+
+def _shift_mats(ch, cw, off_y, off_x, dtype):
+    """P (32xWIN_H) row shift+mask, Q (WIN_WxW_OUT) col shift+mask.
+
+    out[i, j] = L[i + off_y, j + off_x] for i in the valid row band
+    [pad_top, pad_top+ch) and j in [pad_left, pad_left+cw); for valid
+    (i, j) the source index is in window range by construction, so a pure
+    shift suffices.
+    """
+    pad_top = (H_OUT - ch) // 2
+    pad_left = (W_OUT - cw) // 2
+    ii = jax.lax.broadcasted_iota(jnp.int32, (H_OUT, WIN_H), 0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (H_OUT, WIN_H), 1)
+    row_valid = (ii >= pad_top) & (ii < pad_top + ch)
+    P = ((kk == ii + off_y) & row_valid).astype(dtype)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, W_OUT), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, W_OUT), 1)
+    col_valid = (jj >= pad_left) & (jj < pad_left + cw)
+    Q = ((kj == jj + off_x) & col_valid).astype(dtype)
+    return P, Q
+
+
+def _fwd_kernel(bbox_ref, doc_ref, out_ref):
+    d = pl.program_id(0)
+    s = pl.program_id(1)
+    H, W = doc_ref.shape[1], doc_ref.shape[2]
+    ch, cw, off_y, off_x, wa_y, wa_x = _window_params(bbox_ref, d, s, H, W)
+    L = doc_ref[0, pl.ds(wa_y, WIN_H), pl.ds(wa_x, WIN_W)]
+    P, Q = _shift_mats(ch, cw, off_y, off_x, L.dtype)
+    crop = jnp.dot(
+        jnp.dot(P, L, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST),
+        Q, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    # invalid cells got exactly 0 from the masked 0/1 matmuls; make them white
+    white = 1.0 - jnp.dot(
+        jnp.sum(P, axis=1, keepdims=True),
+        jnp.sum(Q, axis=0, keepdims=True),
+        preferred_element_type=jnp.float32)
+    out_ref[0, 0] = (crop + white).astype(out_ref.dtype)
+
+
+def _bwd_kernel(bbox_ref, grad_ref, dd_ref):
+    d = pl.program_id(0)
+    S = grad_ref.shape[1]
+    H, W = dd_ref.shape[2], dd_ref.shape[3]
+    dd_ref[...] = jnp.zeros(dd_ref.shape, dd_ref.dtype)
+
+    def body(s, _):
+        ch, cw, off_y, off_x, wa_y, wa_x = _window_params(bbox_ref, d, s, H, W)
+        g = grad_ref[0, s]
+        P, Q = _shift_mats(ch, cw, off_y, off_x, g.dtype)
+        C = jnp.dot(
+            jnp.dot(P.T, g, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST),
+            Q.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        cur = dd_ref[0, 0, pl.ds(wa_y, WIN_H), pl.ds(wa_x, WIN_W)]
+        dd_ref[0, 0, pl.ds(wa_y, WIN_H), pl.ds(wa_x, WIN_W)] = (
+            cur + C.astype(dd_ref.dtype))
+        return 0
+
+    jax.lax.fori_loop(0, S, body, 0)
+
+
+def _fwd_call(docs, bboxes):
+    D, _, H, W = docs.shape
+    S = bboxes.shape[1]
+    interpret = jax.default_backend() != "tpu"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(D, S),
+        in_specs=[
+            pl.BlockSpec((1, H, W), lambda d, s, b: (d, 0, 0),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, H_OUT, W_OUT),
+                               lambda d, s, b: (d, s, 0, 0),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D, S, H_OUT, W_OUT), docs.dtype),
+        interpret=interpret,
+    )(bboxes, docs.reshape(D, H, W))
+
+
+def _bwd_call(bboxes, doc_shape, dtype, grads):
+    D, _, H, W = doc_shape
+    S = bboxes.shape[1]
+    interpret = jax.default_backend() != "tpu"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(D,),
+        in_specs=[
+            pl.BlockSpec((1, S, H_OUT, W_OUT), lambda d, b: (d, 0, 0, 0),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, H, W), lambda d, b: (d, 0, 0, 0),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D, 1, H, W), dtype),
+        interpret=interpret,
+    )(bboxes, grads)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_text_stack(doc_shape: tuple, dtype_name: str):
+    """custom_vjp specialized per (doc shape, dtype) — residuals carry only
+    the bboxes; the static geometry rides the closure."""
+    dtype = jnp.dtype(dtype_name)
+
+    @jax.custom_vjp
+    def fn(docs, bboxes):
+        return _fwd_call(docs, bboxes)
+
+    def fwd(docs, bboxes):
+        return _fwd_call(docs, bboxes), bboxes
+
+    def bwd(bboxes, g):
+        return _bwd_call(bboxes, doc_shape, dtype, g), None
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def supports(doc_h: int, doc_w: int) -> bool:
+    """Whether the kernel's aligned-window scheme fits this document size."""
+    return (doc_h % 8 == 0 and doc_w % 128 == 0
+            and doc_h >= WIN_H and doc_w >= WIN_W)
+
+
+def text_stack_pallas(docs: jax.Array, bboxes: jax.Array) -> jax.Array:
+    """docs (D, 1, H, W) float, bboxes (D, S, 4) int32
+    -> (D, S, 32, 128) white-padded centered crops. Differentiable w.r.t.
+    docs (scatter-accumulate VJP kernel); bboxes get no gradient."""
+    return _make_text_stack(tuple(docs.shape), docs.dtype.name)(docs, bboxes)

@@ -15,6 +15,7 @@ coordinates; crops are guaranteed by the data layer to satisfy
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -77,5 +78,17 @@ def get_text_stack_batch(
         in-range dummy box; callers carry a separate strip mask).
 
     Returns: (D, S, 1, h_out, w_out).
+    Implementation dispatch: on TPU at the production strip shape
+    (32, 128) the extraction runs as a Pallas permutation-matmul kernel
+    (`ops/pallas/gather_pallas.py` — XLA's take-of-take gather lowering is
+    VPU row-at-a-time and costs ~34 ms/step at 96x16); `QEA_GATHER_IMPL=xla`
+    forces the reference vmapped-gather path.
     """
+    impl = os.environ.get("QEA_GATHER_IMPL", "auto")
+    if impl != "xla" and (h_out, w_out) == (32, 128):
+        from qea_ocr_tpu.ops.pallas import gather_pallas
+        # the kernel slides an (8,128)-aligned window inside the document
+        if gather_pallas.supports(docs.shape[2], docs.shape[3]) and (
+                impl == "pallas" or jax.default_backend() == "tpu"):
+            return gather_pallas.text_stack_pallas(docs, bboxes)[:, :, None]
     return jax.vmap(lambda d, b: get_text_stack(d, b, h_out, w_out))(docs, bboxes)
