@@ -127,6 +127,53 @@ void qea_compare_labels(const int32_t* pred, const int32_t* pred_len,
   *total_cer = cer;
 }
 
-int32_t qea_version(void) { return 1; }
+// Greedy facility-location over a 1-D feature (the dataset pruner's
+// diverse-subset selection; reference `pruning/methods.py:10-22` runs
+// apricot's numba-compiled optimizer — this is the framework's own native
+// equivalent). sim(i, j) = dmax - |x_i - x_j|; each round picks the point
+// maximizing sum_j max(sim(i, j), best[j]) (first index wins ties, matching
+// numpy argmax). O(k * n^2) time, O(n) memory, OpenMP over candidates.
+void qea_facility_location(const double* x, int32_t n, int32_t k,
+                           int32_t* out) {
+  if (n <= 0 || k <= 0) return;
+  double lo = x[0], hi = x[0];
+  for (int32_t i = 1; i < n; ++i) {
+    lo = std::min(lo, x[i]);
+    hi = std::max(hi, x[i]);
+  }
+  const double dmax = hi - lo;
+  std::vector<double> best(n, 0.0);
+  std::vector<double> gains(n);
+  std::vector<char> taken(n, 0);
+  for (int32_t r = 0; r < k && r < n; ++r) {
+#pragma omp parallel for schedule(static)
+    for (int32_t i = 0; i < n; ++i) {
+      if (taken[i]) {
+        gains[i] = -1.0;  // real gains are always >= 0
+        continue;
+      }
+      double g = 0.0;
+      const double xi = x[i];
+      for (int32_t j = 0; j < n; ++j) {
+        const double s = dmax - std::abs(xi - x[j]);
+        const double d = s - best[j];
+        if (d > 0) g += d;
+      }
+      gains[i] = g;
+    }
+    int32_t pick = 0;
+    for (int32_t i = 1; i < n; ++i) {
+      if (gains[i] > gains[pick]) pick = i;
+    }
+    taken[pick] = 1;
+    out[r] = pick;
+    const double xp = x[pick];
+    for (int32_t j = 0; j < n; ++j) {
+      best[j] = std::max(best[j], dmax - std::abs(xp - x[j]));
+    }
+  }
+}
+
+int32_t qea_version(void) { return 2; }
 
 }  // extern "C"

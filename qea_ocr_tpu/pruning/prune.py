@@ -44,19 +44,13 @@ def facility_location(cer_means: Dict[str, float],
     sum_j max_{i in S} sim(i, j) with sim = max_pairwise_dist - |c_i - c_j|."""
     names = list(cer_means.keys())
     x = np.asarray([cer_means[n] for n in names], np.float64)
-    n = len(x)
-    if num_samples >= n:
+    if num_samples >= len(x):
         return dict(cer_means)
-    dist = np.abs(x[:, None] - x[None, :])
-    sim = dist.max() - dist                     # (n, n), higher = closer
-    best_sim = np.zeros(n)
-    chosen: list[int] = []
-    for _ in range(num_samples):
-        gains = np.maximum(sim, best_sim[None, :]).sum(axis=1) - best_sim.sum()
-        gains[chosen] = -np.inf
-        i = int(np.argmax(gains))
-        chosen.append(i)
-        best_sim = np.maximum(best_sim, sim[i])
+    # OpenMP C++ greedy when the native lib is available (the reference
+    # leans on apricot's numba kernels here); numpy greedy otherwise —
+    # identical selection either way (first-index tie-breaking).
+    from qea_ocr_tpu.utils.native import facility_location_indices
+    chosen = facility_location_indices(x, num_samples)
     return {names[i]: float(x[i]) for i in chosen}
 
 

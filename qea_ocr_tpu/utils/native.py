@@ -24,6 +24,8 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libqea_native.so")
 
+_ABI_VERSION = 2
+
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
@@ -34,10 +36,19 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+        lib = None
+        if os.path.exists(_LIB_PATH):
+            try:
+                cand = ctypes.CDLL(_LIB_PATH)
+                cand.qea_version.restype = ctypes.c_int32
+                if cand.qea_version() == _ABI_VERSION:
+                    lib = cand
+            except OSError:
+                pass
+        if lib is None:  # missing or stale ABI: rebuild from source
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
                            capture_output=True, timeout=120)
-        lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(_LIB_PATH)
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.qea_batch_levenshtein.argtypes = [i32p, i32p, i32p, i32p,
                                               ctypes.c_int32, ctypes.c_int32,
@@ -53,8 +64,11 @@ def _load() -> Optional[ctypes.CDLL]:
                                            ctypes.c_int32,
                                            ctypes.POINTER(ctypes.c_int32),
                                            ctypes.POINTER(ctypes.c_double)]
+        lib.qea_facility_location.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32, ctypes.c_int32,
+            i32p]
         lib.qea_version.restype = ctypes.c_int32
-        assert lib.qea_version() == 1
+        assert lib.qea_version() == _ABI_VERSION
         _lib = lib
     except Exception:
         _lib = None
@@ -173,6 +187,37 @@ def string_cer(preds: Sequence[str], gts: Sequence[str]) -> Tuple[int, float]:
         g[i, :len(b)] = [ord(c) for c in b]
         pl[i], gl[i] = len(a), len(b)
     return compare_labels(p, pl, g, gl)
+
+
+def facility_location_indices(x, k: int) -> np.ndarray:
+    """Greedy facility-location over 1-D features x (n,) -> (min(k, n),)
+    selected indices in pick order. sim = dmax - |x_i - x_j|; ties go to the
+    lowest index (numpy-argmax semantics in both implementations)."""
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    n = x.shape[0]
+    k = int(min(k, n))
+    if k <= 0:
+        return np.empty(0, np.int32)
+    lib = _load()
+    if lib is not None:
+        out = np.empty(k, np.int32)
+        lib.qea_facility_location(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, k,
+            _ptr(out))
+        return out
+    dmax = float(x.max() - x.min()) if n else 0.0
+    best = np.zeros(n)
+    taken = np.zeros(n, bool)
+    out = np.empty(k, np.int32)
+    for r in range(k):
+        sim = dmax - np.abs(x[:, None] - x[None, :])
+        gains = np.maximum(sim - best[None, :], 0.0).sum(axis=1)
+        gains[taken] = -1.0
+        i = int(np.argmax(gains))
+        taken[i] = True
+        out[r] = i
+        best = np.maximum(best, sim[i])
+    return out
 
 
 def _py_lev(a, b) -> int:

@@ -51,3 +51,42 @@ def test_fallback_matches_native():
     fast = native.batch_levenshtein(a, al, b, bl)
     slow = [native._py_lev(a[i, :al[i]], b[i, :bl[i]]) for i in range(8)]
     assert fast.tolist() == slow
+
+
+def test_facility_location_native_vs_numpy():
+    """Both implementations run the same greedy; exact float64 gain TIES may
+    resolve differently (summation order), so the contract is equal
+    objective value, not identical index order."""
+    def objective(x, idx):
+        sim = (x.max() - x.min()) - np.abs(x[idx][:, None] - x[None, :])
+        return float(sim.max(axis=0).sum())
+
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        n = int(rng.integers(5, 200))
+        k = int(rng.integers(1, min(n, 20) + 1))
+        x = rng.random(n)
+        got = native.facility_location_indices(x, k)
+        lib, native._lib = native._lib, None
+        tried, native._tried = native._tried, True
+        ref = native.facility_location_indices(x, k)
+        native._lib, native._tried = lib, tried
+        assert len(set(got.tolist())) == k == len(set(ref.tolist()))
+        og, orf = objective(x, got), objective(x, ref)
+        assert og == pytest.approx(orf, rel=1e-3)
+
+
+def test_facility_location_deterministic_and_tieless_case():
+    # well-separated values, no gain ties: both paths must agree exactly
+    x = np.asarray([0.0, 0.13, 0.55, 0.97, 0.41, 0.78])
+    got1 = native.facility_location_indices(x, 3)
+    got2 = native.facility_location_indices(x, 3)
+    assert got1.tolist() == got2.tolist()
+    lib, native._lib = native._lib, None
+    tried, native._tried = native._tried, True
+    ref = native.facility_location_indices(x, 3)
+    native._lib, native._tried = lib, tried
+    assert got1.tolist() == ref.tolist()
+    # k >= n returns everything; k = 0 returns none
+    assert sorted(native.facility_location_indices(x, 99).tolist()) == list(range(6))
+    assert native.facility_location_indices(x, 0).size == 0
