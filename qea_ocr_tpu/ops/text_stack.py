@@ -85,7 +85,9 @@ def get_text_stack_batch(
     forces the reference vmapped-gather path.
     """
     impl = os.environ.get("QEA_GATHER_IMPL", "auto")
-    if impl != "xla" and (h_out, w_out) == (32, 128):
+    if (impl != "xla" and (h_out, w_out) == (32, 128)
+            # the kernel's window alignment assumes f32 (8, 128) VMEM tiles
+            and docs.dtype == jnp.float32):
         from qea_ocr_tpu.ops.pallas import gather_pallas
         # the kernel slides an (8,128)-aligned window inside the document
         if gather_pallas.supports(docs.shape[2], docs.shape[3]) and (
