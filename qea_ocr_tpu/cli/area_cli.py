@@ -54,6 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decay_factor", type=float, default=0.7)
     p.add_argument("--discount_factor", type=float, default=1)
     p.add_argument("--lr_scheduler", choices=["cosine"])
+    p.add_argument("--lr_scheduler_prep", choices=["cosine"])
     p.add_argument("--synthetic_train_size", type=int, default=128)
     p.add_argument("--synthetic_val_size", type=int, default=32)
     p.add_argument("--prep_pretrain_epochs", type=int, default=0,
@@ -83,6 +84,7 @@ def config_from_args(args) -> AreaTrainerConfig:
         weightgen_method=args.weightgen_method,
         decay_factor=args.decay_factor, discount_factor=args.discount_factor,
         lr_scheduler=args.lr_scheduler,
+        lr_scheduler_prep=args.lr_scheduler_prep,
         synthetic_train_size=args.synthetic_train_size,
         synthetic_val_size=args.synthetic_val_size, use_wandb=args.use_wandb,
         prep_pretrain_epochs=args.prep_pretrain_epochs,

@@ -83,7 +83,13 @@ class AreaTrainerConfig:
     weightgen_method: str = "decaying"
     decay_factor: float = 0.7
     discount_factor: float = 1.0
-    lr_scheduler: Optional[str] = None   # None | "cosine"
+    lr_scheduler: Optional[str] = None   # None | "cosine" (CRNN lr, reference)
+    # Prep-side cosine decay. The reference stubs this out (commented
+    # scheduler_prep, `train_nn_area.py:161,316`); it is the effective
+    # countermeasure to late-run co-adaptation drift (the prep warping
+    # glyphs the robust proxy reads but the black box does not), so it is
+    # exposed as an opt-in extension here.
+    lr_scheduler_prep: Optional[str] = None
     # TPU-native additions
     prep_pretrain_epochs: int = 0  # identity/denoise UNet pretraining before
                                    # the budget loop (skipped when a
@@ -321,6 +327,9 @@ class TrainNNPrepArea:
             if cfg.lr_scheduler == "cosine":
                 self.crnn_state = set_learning_rate(
                     self.crnn_state, cosine_lr(cfg.lr_crnn, epoch, cfg.epochs))
+            if cfg.lr_scheduler_prep == "cosine":
+                self.prep_state = set_learning_rate(
+                    self.prep_state, cosine_lr(cfg.lr_prep, epoch, cfg.epochs))
             if is_global(cfg.minibatch_subset):
                 num = max(1, int(round((1 - cfg.minibatch_subset_prop)
                                        * len(self.train_ds))))

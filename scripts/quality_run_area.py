@@ -76,6 +76,7 @@ def main():
         scalar=float(os.environ.get("SCALAR", 1.0)),
         prep_pretrain_epochs=int(os.environ.get("PREP_PRETRAIN", 6)),
         lr_prep=float(os.environ.get("LR_PREP", 2e-5)),
+        lr_scheduler_prep=os.environ.get("LR_SCHED_PREP") or None,
         lr_crnn=float(os.environ.get("LR_CRNN", 1e-4)),
         crnn_model=crnn_ckpt,
         exp_base_path=os.path.join(OUT, "area"))
