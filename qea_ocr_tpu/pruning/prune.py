@@ -47,8 +47,11 @@ def facility_location(cer_means: Dict[str, float],
     if num_samples >= len(x):
         return dict(cer_means)
     # OpenMP C++ greedy when the native lib is available (the reference
-    # leans on apricot's numba kernels here); numpy greedy otherwise —
-    # identical selection either way (first-index tie-breaking).
+    # leans on apricot's numba kernels here); numpy greedy otherwise. Both
+    # run the same greedy with first-index tie-breaking, but exact float64
+    # gain ties can resolve differently (summation order), so the guarantee
+    # across implementations is equal OBJECTIVE value, not identical
+    # indices (tests/test_native.py).
     from qea_ocr_tpu.utils.native import facility_location_indices
     chosen = facility_location_indices(x, num_samples)
     return {names[i]: float(x[i]) for i in chosen}

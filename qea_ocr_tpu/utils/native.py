@@ -36,19 +36,18 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        lib = None
-        if os.path.exists(_LIB_PATH):
-            try:
-                cand = ctypes.CDLL(_LIB_PATH)
-                cand.qea_version.restype = ctypes.c_int32
-                if cand.qea_version() == _ABI_VERSION:
-                    lib = cand
-            except OSError:
-                pass
-        if lib is None:  # missing or stale ABI: rebuild from source
-            subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
+        # Rebuild BEFORE the first dlopen: glibc caches handles by path, so
+        # probing a stale .so and then re-loading after `make` would hand
+        # back the old image for the rest of the process. `make` is a no-op
+        # when the .so is newer than the source, and a failed make (no
+        # toolchain) still falls through to loading an existing build.
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True, timeout=120)
-            lib = ctypes.CDLL(_LIB_PATH)
+        except Exception:
+            if not os.path.exists(_LIB_PATH):
+                raise
+        lib = ctypes.CDLL(_LIB_PATH)
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.qea_batch_levenshtein.argtypes = [i32p, i32p, i32p, i32p,
                                               ctypes.c_int32, ctypes.c_int32,
@@ -206,11 +205,11 @@ def facility_location_indices(x, k: int) -> np.ndarray:
             _ptr(out))
         return out
     dmax = float(x.max() - x.min()) if n else 0.0
+    sim = dmax - np.abs(x[:, None] - x[None, :])
     best = np.zeros(n)
     taken = np.zeros(n, bool)
     out = np.empty(k, np.int32)
     for r in range(k):
-        sim = dmax - np.abs(x[:, None] - x[None, :])
         gains = np.maximum(sim - best[None, :], 0.0).sum(axis=1)
         gains[taken] = -1.0
         i = int(np.argmax(gains))

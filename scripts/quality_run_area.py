@@ -28,6 +28,11 @@ CORRUPTION = json.loads(os.environ.get(
     '{"noise_std": 0.14, "shading": 0.18, "salt_pepper": 0.007}'))
 OUT = os.environ.get("QUALITY_OUT", "/tmp/quality_area")
 BUDGET_PROP = float(os.environ.get("BUDGET_PROP", 0.75))
+# Validate at import, BEFORE the (long) warmup phase runs.
+LR_SCHED_PREP = os.environ.get("LR_SCHED_PREP", "") or None
+if LR_SCHED_PREP not in (None, "cosine"):
+    raise SystemExit(
+        f"LR_SCHED_PREP must be 'cosine' or unset, got {LR_SCHED_PREP!r}")
 
 
 def main():
@@ -76,7 +81,7 @@ def main():
         scalar=float(os.environ.get("SCALAR", 1.0)),
         prep_pretrain_epochs=int(os.environ.get("PREP_PRETRAIN", 6)),
         lr_prep=float(os.environ.get("LR_PREP", 2e-5)),
-        lr_scheduler_prep=os.environ.get("LR_SCHED_PREP") or None,
+        lr_scheduler_prep=LR_SCHED_PREP,
         lr_crnn=float(os.environ.get("LR_CRNN", 1e-4)),
         crnn_model=crnn_ckpt,
         exp_base_path=os.path.join(OUT, "area"))
