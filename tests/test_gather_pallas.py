@@ -101,3 +101,23 @@ def test_supports_gate():
     assert not supports(96, 160)   # lane dim not a multiple of 128
     assert not supports(100, 512)  # sublane dim not a multiple of 8
     assert not supports(32, 512)   # shorter than the oversized window
+
+
+def test_dispatch_env_forcing_and_bf16_fallback(monkeypatch):
+    """QEA_GATHER_IMPL=pallas engages the kernel off-TPU (interpret mode);
+    bf16 docs always fall back to XLA (kernel alignment assumes f32 tiles)."""
+    from qea_ocr_tpu.ops.text_stack import get_text_stack_batch
+    rng = np.random.default_rng(5)
+    docs = jnp.asarray(rng.random((2, 1, 96, 256), dtype=np.float32))
+    bboxes = jnp.asarray(_random_boxes(rng, 2, 3, 96, 256))
+    monkeypatch.setenv("QEA_GATHER_IMPL", "pallas")
+    forced = get_text_stack_batch(docs, bboxes, 32, 128)
+    monkeypatch.setenv("QEA_GATHER_IMPL", "xla")
+    ref = get_text_stack_batch(docs, bboxes, 32, 128)
+    np.testing.assert_allclose(np.asarray(forced), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+    monkeypatch.setenv("QEA_GATHER_IMPL", "pallas")
+    bf = get_text_stack_batch(docs.astype(jnp.bfloat16), bboxes, 32, 128)
+    assert bf.dtype == jnp.bfloat16  # kernel would have produced f32 matmuls
+    np.testing.assert_allclose(np.asarray(bf, dtype=np.float32),
+                               np.asarray(ref), rtol=0, atol=0.01)
