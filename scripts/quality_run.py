@@ -41,6 +41,16 @@ STRIPS_PER_DOC = int(os.environ.get("STRIPS_PER_DOC", 8))
 # tall, so doc_h // STRIPS_PER_DOC must be >= 18 to avoid row overlap
 # (e.g. the 4%-budget point: DOC_SIZE=512,512 STRIPS_PER_DOC=25).
 DOC_SIZE = tuple(int(v) for v in os.environ.get("DOC_SIZE", "400,512").split(","))
+# Selection strategy / history-weight generator (reference factory keys,
+# `selection_utils.py:220-229` / `tracking_methods.py:118-124`); validated
+# here so a typo fails BEFORE the long warmup.
+SELECTION = os.environ.get("SELECTION", "rangeCER")
+WEIGHTGEN = os.environ.get("WEIGHTGEN", "decaying")
+if SELECTION not in ("random", "topKCER", "rangeCER", "uniformEntropy",
+                     "uniformCERglobal", "randomglobal"):
+    raise SystemExit(f"unknown SELECTION {SELECTION!r}")
+if WEIGHTGEN not in ("decaying", "levenshtein", "self_attention"):
+    raise SystemExit(f"unknown WEIGHTGEN {WEIGHTGEN!r}")
 if DOC_SIZE[0] // STRIPS_PER_DOC < 18:
     raise SystemExit(
         f"DOC_SIZE height {DOC_SIZE[0]} fits only "
@@ -94,9 +104,9 @@ def main():
         max_strips=STRIPS_PER_DOC, batch_docs=8,
         doc_size=DOC_SIZE,
         corruption=CORRUPTION,
-        minibatch_subset="rangeCER", minibatch_subset_prop=BUDGET_PROP,
+        minibatch_subset=SELECTION, minibatch_subset_prop=BUDGET_PROP,
         inner_limit=2, inner_limit_skip=True, window_size=3,
-        weightgen_method="decaying", scalar=0.1,
+        weightgen_method=WEIGHTGEN, scalar=0.1,
         prep_pretrain_epochs=int(os.environ.get("PREP_PRETRAIN", 8)),
         lr_prep=5e-5, lr_crnn=1e-4,
         crnn_model=crnn_ckpt,
