@@ -134,6 +134,16 @@ class TestPatchTrainerVariants:
         best_acc, _ = trainer.train()
         assert 0.0 <= best_acc <= 1.0
 
+    def test_uniform_entropy_selection(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, minibatch_subset="uniformEntropy",
+                       minibatch_subset_prop=0.5, epochs=1)
+        trainer = TrainNNPrep(cfg)
+        best_acc, _ = trainer.train()
+        assert 0.0 <= best_acc <= 1.0
+        # entropy table was actually populated by phase B
+        import numpy as np
+        assert np.asarray(trainer.ent_table).max() > 0
+
     def test_global_selection(self, tmp_path):
         cfg = tiny_cfg(tmp_path, minibatch_subset="randomglobal",
                        minibatch_subset_prop=0.75, epochs=1)
