@@ -26,9 +26,11 @@ dense MXU permutation-matmuls, the TPU-native way to move data:
   accumulate without races):
     dDoc[window] += P^T @ g @ Q^T
 
-Bboxes ride as scalar-prefetch (SMEM) so window addresses are known before
-the body runs. The doc block (1, H, W) stays resident in VMEM across the
-inner strip grid dimension. Parity with `get_text_stack_batch` (including
+Bboxes ride as a per-document SMEM block (a regular input, NOT scalar
+prefetch: the block index maps don't depend on them, and full-array
+scalar prefetch scales SMEM with D — it blew the 1 MB SMEM budget at
+D=128). The doc block (1, H, W) stays resident in VMEM across the inner
+strip grid dimension. Parity with `get_text_stack_batch` (including
 degenerate/masked dummy boxes) is tested in tests/test_gather_pallas.py;
 interpreter mode covers CPU.
 
@@ -52,17 +54,18 @@ WIN_H = H_OUT + 8
 WIN_W = W_OUT + 128
 
 
-def _window_params(bbox_ref, d, s, H, W):
-    """Scalar window math shared by fwd/bwd kernels.
+def _window_params(bbox_ref, s, H, W):
+    """Scalar window math shared by fwd/bwd kernels (bbox_ref is the
+    current document's (1, S, 4) SMEM block).
 
     Returns (ch, cw, off_y, off_x, wa_y, wa_x): crop size, offset of the
     crop's top-left *output-relative* origin inside the aligned window, and
     the aligned window start in the document.
     """
-    x_min = bbox_ref[d, s, 0]
-    y_min = bbox_ref[d, s, 1]
-    x_max = bbox_ref[d, s, 2]
-    y_max = bbox_ref[d, s, 3]
+    x_min = bbox_ref[0, s, 0]
+    y_min = bbox_ref[0, s, 1]
+    x_max = bbox_ref[0, s, 2]
+    y_max = bbox_ref[0, s, 3]
     ch = y_max - y_min
     cw = x_max - x_min
     pad_top = (H_OUT - ch) // 2
@@ -102,10 +105,9 @@ def _shift_mats(ch, cw, off_y, off_x, dtype):
 
 
 def _fwd_kernel(bbox_ref, doc_ref, out_ref):
-    d = pl.program_id(0)
     s = pl.program_id(1)
     H, W = doc_ref.shape[1], doc_ref.shape[2]
-    ch, cw, off_y, off_x, wa_y, wa_x = _window_params(bbox_ref, d, s, H, W)
+    ch, cw, off_y, off_x, wa_y, wa_x = _window_params(bbox_ref, s, H, W)
     L = doc_ref[0, pl.ds(wa_y, WIN_H), pl.ds(wa_x, WIN_W)]
     P, Q = _shift_mats(ch, cw, off_y, off_x, L.dtype)
     crop = jnp.dot(
@@ -122,13 +124,12 @@ def _fwd_kernel(bbox_ref, doc_ref, out_ref):
 
 
 def _bwd_kernel(bbox_ref, grad_ref, dd_ref):
-    d = pl.program_id(0)
     S = grad_ref.shape[1]
     H, W = dd_ref.shape[2], dd_ref.shape[3]
     dd_ref[...] = jnp.zeros(dd_ref.shape, dd_ref.dtype)
 
     def body(s, _):
-        ch, cw, off_y, off_x, wa_y, wa_x = _window_params(bbox_ref, d, s, H, W)
+        ch, cw, off_y, off_x, wa_y, wa_x = _window_params(bbox_ref, s, H, W)
         g = grad_ref[0, s]
         P, Q = _shift_mats(ch, cw, off_y, off_x, g.dtype)
         C = jnp.dot(
@@ -148,20 +149,18 @@ def _fwd_call(docs, bboxes):
     D, _, H, W = docs.shape
     S = bboxes.shape[1]
     interpret = jax.default_backend() != "tpu"
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    return pl.pallas_call(
+        _fwd_kernel,
         grid=(D, S),
         in_specs=[
-            pl.BlockSpec((1, H, W), lambda d, s, b: (d, 0, 0),
+            pl.BlockSpec((1, S, 4), lambda d, s: (d, 0, 0),
+                         memory_space=pl.ANY if interpret else pltpu.SMEM),
+            pl.BlockSpec((1, H, W), lambda d, s: (d, 0, 0),
                          memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, H_OUT, W_OUT),
-                               lambda d, s, b: (d, s, 0, 0),
+                               lambda d, s: (d, s, 0, 0),
                                memory_space=pl.ANY if interpret else pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        _fwd_kernel,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((D, S, H_OUT, W_OUT), docs.dtype),
         interpret=interpret,
     )(bboxes, docs.reshape(D, H, W))
@@ -171,19 +170,17 @@ def _bwd_call(bboxes, doc_shape, dtype, grads):
     D, _, H, W = doc_shape
     S = bboxes.shape[1]
     interpret = jax.default_backend() != "tpu"
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(D,),
-        in_specs=[
-            pl.BlockSpec((1, S, H_OUT, W_OUT), lambda d, b: (d, 0, 0, 0),
-                         memory_space=pl.ANY if interpret else pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, H, W), lambda d, b: (d, 0, 0, 0),
-                               memory_space=pl.ANY if interpret else pltpu.VMEM),
-    )
     return pl.pallas_call(
         _bwd_kernel,
-        grid_spec=grid_spec,
+        grid=(D,),
+        in_specs=[
+            pl.BlockSpec((1, S, 4), lambda d: (d, 0, 0),
+                         memory_space=pl.ANY if interpret else pltpu.SMEM),
+            pl.BlockSpec((1, S, H_OUT, W_OUT), lambda d: (d, 0, 0, 0),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, H, W), lambda d: (d, 0, 0, 0),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((D, 1, H, W), dtype),
         interpret=interpret,
     )(bboxes, grads)
