@@ -20,8 +20,13 @@ import time
 
 
 def _sync(x):
+    """Host-sync on ONE ELEMENT of the first leaf: fetching a whole leaf
+    (e.g. prep_extract's (96,1,400,512) doc_out, 78 MB) rides the tunneled
+    host link and inflated that phase's reading by ~70 ms."""
     import jax
-    jax.device_get(jax.tree_util.tree_leaves(x)[0])
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    idx = (0,) * getattr(leaf, "ndim", 0)
+    jax.device_get(leaf[idx] if idx else leaf)
 
 
 def _timeit(name, fn, n=10):
