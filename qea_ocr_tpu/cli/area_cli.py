@@ -10,6 +10,7 @@ import argparse
 import datetime
 import os
 
+from qea_ocr_tpu.config import SELECTION_KEYS, WEIGHTGEN_KEYS
 from qea_ocr_tpu.train.area_trainer import AreaTrainerConfig, TrainNNPrepArea
 
 
@@ -32,8 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", default="pos", choices=["pos", "vgg", "synthetic"])
     p.add_argument("--random_std", action="store_false", default=True)
     p.add_argument("--minibatch_subset",
-                   choices=["random", "uniformCERglobal", "randomglobal",
-                            "rangeCER", "uniformEntropy", "topKCER"])
+                   choices=list(SELECTION_KEYS))
     p.add_argument("--minibatch_subset_prop", default=0.5, type=float)
     p.add_argument("--start_epoch", type=int, default=0)
     p.add_argument("--data_base_path", default=".")
@@ -50,7 +50,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attn_activation", default="sigmoid",
                    choices=["sigmoid", "softmax", "relu"])
     p.add_argument("--weightgen_method", default="decaying",
-                   choices=["levenshtein", "self_attention", "decaying"])
+                   choices=list(WEIGHTGEN_KEYS))
     p.add_argument("--decay_factor", type=float, default=0.7)
     p.add_argument("--discount_factor", type=float, default=1)
     p.add_argument("--lr_scheduler", choices=["cosine"])

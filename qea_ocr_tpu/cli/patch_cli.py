@@ -12,6 +12,7 @@ import datetime
 import json
 import os
 
+from qea_ocr_tpu.config import SELECTION_KEYS, WEIGHTGEN_KEYS
 from qea_ocr_tpu.train.patch_trainer import PatchTrainerConfig, TrainNNPrep
 
 
@@ -40,8 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random_std", action="store_false", default=True,
                    help="per-image std drawn from [0, std]")
     p.add_argument("--minibatch_subset",
-                   choices=["random", "uniformCERglobal", "randomglobal",
-                            "rangeCER", "uniformEntropy", "topKCER"],
+                   choices=list(SELECTION_KEYS),
                    help="query-budget selection strategy")
     p.add_argument("--minibatch_subset_prop", default=0.5, type=float,
                    help="fraction of samples NOT queried per minibatch")
@@ -65,7 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attn_activation", default="sigmoid",
                    choices=["sigmoid", "softmax", "relu"])
     p.add_argument("--weightgen_method", default="decaying",
-                   choices=["levenshtein", "self_attention", "decaying"])
+                   choices=list(WEIGHTGEN_KEYS))
     p.add_argument("--decay_factor", type=float, default=0.7)
     p.add_argument("--optim_crnn_path",
                    help="checkpoint to fully resume CRNN params+optimizer from")

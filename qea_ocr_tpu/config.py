@@ -28,6 +28,16 @@ CHAR_SET: Tuple[str, ...] = tuple(
 BLANK_ID = 0                 # CTC blank == CHAR_SET[0] == '`'
 EMPTY_CHAR = ' '             # reference properties.py:40
 MAX_CHAR_LEN = 100           # reference properties.py:41
+# Canonical selection / weight-generator keys (reference factory parity:
+# `selection_utils.py:220-229`, `tracking_methods.py:118-124`). Single
+# source of truth for CLI `choices`, quality-run validation, and the
+# factories (consistency asserted in tests/test_selection.py).
+SELECTION_KEYS: Tuple[str, ...] = (
+    "random", "topKCER", "uniformCERglobal", "randomglobal", "rangeCER",
+    "uniformEntropy")
+WEIGHTGEN_KEYS: Tuple[str, ...] = ("levenshtein", "self_attention",
+                                   "decaying")
+
 INPUT_SIZE: Tuple[int, int] = (32, 128)   # (H, W) of a text strip, properties.py:33
 DOC_SIZE: Tuple[int, int] = (400, 512)    # padded document size, patch_dataset.py:21
 CRNN_TIME_STEPS = 31         # (32,128) input -> 31 CTC timesteps (model_crnn geometry)

@@ -44,13 +44,14 @@ DOC_SIZE = tuple(int(v) for v in os.environ.get("DOC_SIZE", "400,512").split(","
 # Selection strategy / history-weight generator (reference factory keys,
 # `selection_utils.py:220-229` / `tracking_methods.py:118-124`); validated
 # here so a typo fails BEFORE the long warmup.
+from qea_ocr_tpu.config import SELECTION_KEYS, WEIGHTGEN_KEYS  # noqa: E402
+
 SELECTION = os.environ.get("SELECTION", "rangeCER")
 WEIGHTGEN = os.environ.get("WEIGHTGEN", "decaying")
-if SELECTION not in ("random", "topKCER", "rangeCER", "uniformEntropy",
-                     "uniformCERglobal", "randomglobal"):
-    raise SystemExit(f"unknown SELECTION {SELECTION!r}")
-if WEIGHTGEN not in ("decaying", "levenshtein", "self_attention"):
-    raise SystemExit(f"unknown WEIGHTGEN {WEIGHTGEN!r}")
+if SELECTION not in SELECTION_KEYS:
+    raise SystemExit(f"unknown SELECTION {SELECTION!r} (one of {SELECTION_KEYS})")
+if WEIGHTGEN not in WEIGHTGEN_KEYS:
+    raise SystemExit(f"unknown WEIGHTGEN {WEIGHTGEN!r} (one of {WEIGHTGEN_KEYS})")
 if DOC_SIZE[0] // STRIPS_PER_DOC < 18:
     raise SystemExit(
         f"DOC_SIZE height {DOC_SIZE[0]} fits only "

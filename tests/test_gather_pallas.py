@@ -104,20 +104,37 @@ def test_supports_gate():
 
 
 def test_dispatch_env_forcing_and_bf16_fallback(monkeypatch):
-    """QEA_GATHER_IMPL=pallas engages the kernel off-TPU (interpret mode);
-    bf16 docs always fall back to XLA (kernel alignment assumes f32 tiles)."""
+    """Dispatch routing is decided at TRACE time (`get_text_stack_batch` is
+    jitted), so each sub-check uses a DISTINCT doc shape to force a fresh
+    trace, and a spy on the kernel entry point records whether the Pallas
+    path was actually taken — value-comparing two calls of the same jit
+    would just hit the compile cache and compare the kernel to itself."""
+    from qea_ocr_tpu.ops.pallas import gather_pallas
     from qea_ocr_tpu.ops.text_stack import get_text_stack_batch
+    calls = []
+    real = gather_pallas.text_stack_pallas
+    monkeypatch.setattr(gather_pallas, "text_stack_pallas",
+                        lambda d, b: calls.append(d.dtype) or real(d, b))
     rng = np.random.default_rng(5)
-    docs = jnp.asarray(rng.random((2, 1, 96, 256), dtype=np.float32))
     bboxes = jnp.asarray(_random_boxes(rng, 2, 3, 96, 256))
+
     monkeypatch.setenv("QEA_GATHER_IMPL", "pallas")
+    docs = jnp.asarray(rng.random((2, 1, 96, 256), dtype=np.float32))
     forced = get_text_stack_batch(docs, bboxes, 32, 128)
-    monkeypatch.setenv("QEA_GATHER_IMPL", "xla")
-    ref = get_text_stack_batch(docs, bboxes, 32, 128)
+    assert len(calls) == 1  # pallas path traced
+    ref = jax.vmap(lambda d, b: get_text_stack(d, b, 32, 128))(docs, bboxes)
     np.testing.assert_allclose(np.asarray(forced), np.asarray(ref),
                                rtol=0, atol=1e-6)
+
+    monkeypatch.setenv("QEA_GATHER_IMPL", "xla")
+    docs2 = jnp.asarray(rng.random((3, 1, 96, 256), dtype=np.float32))
+    get_text_stack_batch(docs2, bboxes[:1].repeat(3, 0), 32, 128)
+    assert len(calls) == 1  # forcing xla: kernel NOT traced
+
     monkeypatch.setenv("QEA_GATHER_IMPL", "pallas")
-    bf = get_text_stack_batch(docs.astype(jnp.bfloat16), bboxes, 32, 128)
-    assert bf.dtype == jnp.bfloat16  # kernel would have produced f32 matmuls
-    np.testing.assert_allclose(np.asarray(bf, dtype=np.float32),
-                               np.asarray(ref), rtol=0, atol=0.01)
+    bf = get_text_stack_batch(
+        jnp.asarray(rng.random((4, 1, 96, 256), dtype=np.float32),
+                    jnp.bfloat16),
+        bboxes[:1].repeat(4, 0), 32, 128)
+    assert len(calls) == 1  # bf16: falls back to XLA even when forced
+    assert bf.dtype == jnp.bfloat16

@@ -140,9 +140,11 @@ class TestPatchTrainerVariants:
         trainer = TrainNNPrep(cfg)
         best_acc, _ = trainer.train()
         assert 0.0 <= best_acc <= 1.0
-        # entropy table was actually populated by phase B
+        # entropy table was actually WRITTEN by phase B (it initializes
+        # to all-ones, so a max()>0 check would be vacuous)
         import numpy as np
-        assert np.asarray(trainer.ent_table).max() > 0
+        tbl = np.asarray(trainer.ent_table)
+        assert (tbl != 1.0).any()
 
     def test_global_selection(self, tmp_path):
         cfg = tiny_cfg(tmp_path, minibatch_subset="randomglobal",

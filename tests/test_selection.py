@@ -143,3 +143,18 @@ class TestSamplerAPI:
         names = [f"n{i}" for i in range(10)]
         _, _, idx = s.query(imgs, names, names=names)
         assert len(idx) == 3
+
+
+def test_canonical_keys_match_factories():
+    """config.SELECTION_KEYS / WEIGHTGEN_KEYS are the single source of truth
+    for CLI choices and quality-run validation — they must stay in lockstep
+    with the actual factories."""
+    from qea_ocr_tpu.config import SELECTION_KEYS, WEIGHTGEN_KEYS
+    from qea_ocr_tpu.selection.api import datasampler_factory
+    from qea_ocr_tpu.tracking.weights import WEIGHTGEN_METHODS
+    for key in SELECTION_KEYS:
+        assert datasampler_factory(key) is not None
+    import pytest
+    with pytest.raises(KeyError):
+        datasampler_factory("uniformCER")  # the reference's CLI typo
+    assert set(WEIGHTGEN_KEYS) == set(WEIGHTGEN_METHODS)
