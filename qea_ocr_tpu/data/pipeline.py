@@ -66,6 +66,36 @@ def collate_docs(samples: Sequence[DocSample]) -> DocBatch:
     )
 
 
+def pad_docbatch(batch: DocBatch, D: int) -> DocBatch:
+    """Pad a tail batch up to `D` documents with mask-zero padding docs.
+
+    Jitted steps are compiled for a static (D, S, ...) shape; rather than
+    dropping tail batches (which would silently skip validation documents —
+    the reference iterates every val doc, `train_nn_patch.py:366-398`), the
+    tail is padded with all-False `strip_mask` docs that every masked
+    reduction ignores.
+    """
+    d = batch.images.shape[0]
+    if d >= D:
+        return batch
+    pad = D - d
+
+    def _z(a):
+        return np.concatenate(
+            [a, np.zeros((pad, *a.shape[1:]), a.dtype)], axis=0)
+
+    return DocBatch(
+        images=_z(batch.images),
+        bboxes=_z(batch.bboxes),
+        strip_mask=_z(batch.strip_mask),
+        gt_labels=_z(batch.gt_labels),
+        gt_lengths=_z(batch.gt_lengths),
+        strip_ids=_z(batch.strip_ids),
+        strip_names=batch.strip_names + [[] for _ in range(pad)],
+        doc_names=batch.doc_names + [""] * pad,
+    )
+
+
 def batch_iterator(
     dataset,
     batch_size: int,

@@ -19,7 +19,8 @@ import numpy as np
 
 from qea_ocr_tpu import config as C
 from qea_ocr_tpu.data.datasets import ImgDataset, PatchDocuments, SyntheticWordDataset
-from qea_ocr_tpu.data.pipeline import batch_iterator, collate_docs, collate_words
+from qea_ocr_tpu.data.pipeline import (
+    batch_iterator, collate_docs, collate_words, pad_docbatch)
 from qea_ocr_tpu.models import CRNN
 from qea_ocr_tpu.ocr.base import get_ocr_helper
 from qea_ocr_tpu.ocr.engine import OcrQueryEngine
@@ -139,7 +140,9 @@ class EvalCRNN:
         for batch in batch_iterator(self.dataset, D, collate_docs,
                                     shuffle=False, drop_last=False):
             if batch.images.shape[0] != D:
-                continue
+                # pad the tail with mask-zero docs (static jit shapes) so
+                # every document is scored (reference `eval_crnn.py:110+`)
+                batch = pad_docbatch(batch, D)
             N = D * S
             strips = get_text_stack_batch(
                 jnp.asarray(batch.images), jnp.asarray(batch.bboxes))

@@ -25,7 +25,8 @@ import numpy as np
 
 from qea_ocr_tpu import config as C
 from qea_ocr_tpu.data.datasets import ImgDataset, PatchDocuments, SyntheticWordDataset
-from qea_ocr_tpu.data.pipeline import batch_iterator, collate_docs, collate_words
+from qea_ocr_tpu.data.pipeline import (
+    batch_iterator, collate_docs, collate_words, pad_docbatch)
 from qea_ocr_tpu.models import UNet
 from qea_ocr_tpu.ocr.base import get_ocr_helper
 from qea_ocr_tpu.ocr.engine import OcrQueryEngine
@@ -132,7 +133,10 @@ class EvalPrep:
         for batch in batch_iterator(self.dataset, D, collate_docs,
                                     shuffle=False, drop_last=False):
             if batch.images.shape[0] != D:
-                continue
+                # pad the tail with mask-zero docs (static jit shapes) so
+                # every document is scored, as the reference's per-doc
+                # iteration does (`eval_prep.py:110-175`)
+                batch = pad_docbatch(batch, D)
             images = jnp.asarray(batch.images)
             bboxes = jnp.asarray(batch.bboxes)
             N = D * S

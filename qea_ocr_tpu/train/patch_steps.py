@@ -194,7 +194,14 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
         loss = ctc_loss_mean(
             scores, gt_labels.reshape(N, max_len), gt_lengths.reshape(N),
             pad_id=pad_id, sample_mask=flat_mask)
-        loss = loss + jnp.mean((doc_out - 1.0) ** 2) * sec_loss_scalar
+        # MSE over REAL docs only: tail batches arrive padded with zero
+        # images whose strip_mask is all-False (pad_docbatch); every real
+        # doc has >=1 valid strip (dataset injects a dummy ' ' strip).
+        doc_mask = jnp.any(strip_mask, axis=1)
+        per_doc_mse = jnp.mean((doc_out - 1.0) ** 2, axis=(1, 2, 3))
+        sec = (jnp.sum(jnp.where(doc_mask, per_doc_mse, 0.0))
+               / jnp.maximum(1, jnp.sum(doc_mask)))
+        loss = loss + sec * sec_loss_scalar
         dec, dec_len = greedy_decode(scores, pad_id=pad_id)
         return doc_out, strips, dec, dec_len, loss
 

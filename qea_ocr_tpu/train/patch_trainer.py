@@ -38,7 +38,8 @@ import numpy as np
 from qea_ocr_tpu import config as C
 from qea_ocr_tpu.data.datasets import PatchDocuments
 from qea_ocr_tpu.data.pipeline import (
-    DocBatch, batch_iterator, collate_docs, default_num_workers)
+    DocBatch, batch_iterator, collate_docs, default_num_workers,
+    pad_docbatch)
 from qea_ocr_tpu.models import CRNN, HistoryAttention, UNet
 from qea_ocr_tpu.ocr.base import get_ocr_helper
 from qea_ocr_tpu.ocr.engine import OcrQueryEngine
@@ -367,6 +368,11 @@ class TrainNNPrep:
             if cfg.inner_limit else 0
         best_val_acc, best_val_epoch = 0.0, 0
         total_crnn_updates = 0
+        # reference ledger split (`train_nn_patch.py:199,298,398,410-413`):
+        # "Total Black-Box Calls" counts TRAIN queries only; the cumulative
+        # train+val ledger is its own metric.
+        total_train_bb_calls = 0
+        total_train_val_bb_calls = 0
 
         for epoch in range(cfg.start_epoch, cfg.epochs):
             if is_global(cfg.minibatch_subset):
@@ -420,10 +426,18 @@ class TrainNNPrep:
             if cfg.minibatch_subset:
                 self._save_side_jsons(epoch)
 
-            print(f"Epoch BB calls - {self.ocr.epoch_calls}")
+            epoch_bb_calls = self.ocr.epoch_calls  # train-only snapshot:
+            # _validate() also queries the engine, and the reference keeps
+            # "Black-Box Calls" train-only (`train_nn_patch.py:298-299,411`)
+            print(f"Epoch BB calls - {epoch_bb_calls}")
             val = self._validate()
-            train_loss = training_loss / max(1, steps)
-            crnn_train_loss = crnn_loss_acc / max(1, self.ocr.epoch_calls)
+            total_train_bb_calls += epoch_bb_calls
+            total_train_val_bb_calls += epoch_bb_calls + val["bb_calls"]
+            # per-batch phase-B losses are means over the D docs of the
+            # batch; x D recovers a per-doc sum, and the reference divides
+            # by the full train set size (`train_nn_patch.py:350`)
+            train_loss = training_loss * D / max(1, self.train_set_size)
+            crnn_train_loss = crnn_loss_acc / max(1, epoch_bb_calls)
 
             metrics_out = {
                 "CRNN_accuracy": val["crnn_acc"],
@@ -433,9 +447,10 @@ class TrainNNPrep:
                 "Epoch": epoch + 1,
                 "train_loss": train_loss,
                 "val_loss": val["loss"],
-                "Total Black-Box Calls": self.ocr.total_calls,
-                "Black-Box Calls": self.ocr.epoch_calls,
-                "Train + Val BB Calls": self.ocr.epoch_calls + val["bb_calls"],
+                "Total Black-Box Calls": total_train_bb_calls,
+                "Black-Box Calls": epoch_bb_calls,
+                "Train + Val BB Calls": epoch_bb_calls + val["bb_calls"],
+                "Total Train + Val BB Calls": total_train_val_bb_calls,
                 "Total CRNN Updates": total_crnn_updates,
                 "CRNN Updates": epoch_crnn_updates,
                 "CRNN_loss": crnn_train_loss,
@@ -625,13 +640,19 @@ class TrainNNPrep:
                    match_crt=0.0, match_cer=0.0, loss=0.0)
         label_count = 0
         batches = 0
+        doc_count = 0
         bb_calls_before = self.ocr.total_calls
         for batch in batch_iterator(
                 self.validation_set, D, collate_docs,
                 shuffle=False, drop_last=False,
                 num_workers=default_num_workers(), prefetch=2):
+            real_docs = batch.images.shape[0]
+            doc_count += real_docs
             if batch.images.shape[0] != D:
-                continue  # static shapes; tail smaller than D skipped
+                # static shapes: pad the tail with mask-zero docs so every
+                # val document is scored (reference iterates them all,
+                # `train_nn_patch.py:366-398`)
+                batch = pad_docbatch(batch, D)
             doc_out, strips, dec, dec_len, loss = self.steps.val_forward(
                 self.prep_state, self.crnn_state,
                 jnp.asarray(batch.images), jnp.asarray(batch.bboxes),
@@ -660,10 +681,13 @@ class TrainNNPrep:
             agg["crnn_crt"] += float(crt); agg["crnn_cer"] += float(cer)
             agg["ocr_crt"] += float(t_crt); agg["ocr_cer"] += float(t_cer)
             agg["match_crt"] += float(m_crt); agg["match_cer"] += float(m_cer)
-            agg["loss"] += float(loss)
+            # batch loss is a mean over the batch's real docs; x real_docs
+            # recovers the per-doc sum so val_loss can use the reference's
+            # /val_set_size denominator (`train_nn_patch.py:396`)
+            agg["loss"] += float(loss) * real_docs
             label_count += len(rows)
             batches += 1
-        n_docs = max(1, batches * D)
+        n_docs = max(1, doc_count)
         lc = max(1, label_count)
         print(f"Validation Dataset Calls - {label_count}")
         return dict(
@@ -673,7 +697,7 @@ class TrainNNPrep:
             crnn_cer=agg["crnn_cer"] / n_docs,
             ocr_cer=agg["ocr_cer"] / n_docs,
             match_cer=agg["match_cer"] / n_docs,
-            loss=agg["loss"] / max(1, batches),
+            loss=agg["loss"] / n_docs,
             bb_calls=self.ocr.total_calls - bb_calls_before,
         )
 

@@ -217,6 +217,49 @@ class TestPatchTrainerVariants:
             rec = json.loads(f.readline())
         assert np.isfinite(rec["train_loss"])
 
+    @pytest.mark.parametrize("val_docs", [1, 3])
+    def test_validation_tail_batches_scored(self, tmp_path, val_docs):
+        """Every val doc is scored for any batch_docs/val-size combination:
+        val_docs < batch_docs and val_docs % batch_docs != 0 both pad the
+        tail with mask-zero docs instead of dropping it (reference iterates
+        every val doc, train_nn_patch.py:366-398)."""
+        strips = 3
+        cfg = tiny_cfg(tmp_path, epochs=1, inner_limit=1,
+                       inner_limit_skip=True, synthetic_val_docs=val_docs)
+        trainer = TrainNNPrep(cfg)
+        trainer.train()
+        with open(os.path.join(str(tmp_path), "metrics.jsonl")) as f:
+            rec = json.loads(f.readline())
+        # all val strips OCR'd exactly once
+        assert rec["Train + Val BB Calls"] - rec["Black-Box Calls"] == \
+            val_docs * strips
+        assert np.isfinite(rec["val_loss"])
+        # padded zero-docs must not leak into the masked MSE term
+        assert rec["val_loss"] < 1e3
+
+    def test_bb_call_ledger_parity(self, tmp_path):
+        """Reference ledger semantics (train_nn_patch.py:350,398,410-413):
+        Black-Box Calls is train-only; Total Black-Box Calls accumulates
+        train-only; Total Train + Val BB Calls accumulates train+val;
+        train_loss is normalized by train_set_size."""
+        cfg = tiny_cfg(tmp_path, minibatch_subset="rangeCER",
+                       minibatch_subset_prop=0.5)
+        trainer = TrainNNPrep(cfg)
+        trainer.train()
+        with open(os.path.join(str(tmp_path), "metrics.jsonl")) as f:
+            recs = [json.loads(l) for l in f]
+        val_calls = 2 * 3  # 2 val docs x 3 strips per epoch
+        train_calls = 16   # see test_budget_formula
+        for i, rec in enumerate(recs):
+            assert rec["Black-Box Calls"] == train_calls
+            assert rec["Total Black-Box Calls"] == train_calls * (i + 1)
+            assert rec["Train + Val BB Calls"] == train_calls + val_calls
+            assert rec["Total Train + Val BB Calls"] == \
+                (train_calls + val_calls) * (i + 1)
+        # engine total includes validation queries
+        assert trainer.ocr.total_calls == \
+            recs[-1]["Total Train + Val BB Calls"]
+
     def test_warmup_epochs_full_query(self, tmp_path):
         cfg = tiny_cfg(tmp_path, minibatch_subset="rangeCER",
                        warmup_epochs=1, epochs=1, inner_limit=1,
