@@ -200,11 +200,15 @@ class DocSample:
 
 
 def _parse_sidecar(json_path: str, top_pad: int, left_pad: int,
-                   resize_w: float, resize_h: float) -> List[dict]:
+                   resize_w: float, resize_h: float,
+                   doc_size: tuple = None) -> List[dict]:
     """Parse a bbox sidecar in either reference schema, apply padding offsets
     and the strip filter (label<=max_char_len, w<128, h<32); inject a dummy
     full-white strip when nothing survives (parity with
-    `datasets/patch_dataset.py:95-102`)."""
+    `datasets/patch_dataset.py:95-102`). Boxes are clamped into the document
+    once here so downstream strip-gather implementations (XLA take-clamping
+    vs the Pallas shift-matmul kernel) see identical in-bounds coordinates
+    for malformed sidecars."""
     with open(json_path) as f:
         raw = json.load(f)
     out = []
@@ -220,6 +224,12 @@ def _parse_sidecar(json_path: str, top_pad: int, left_pad: int,
             y_min = area["y_min"] + top_pad
             x_max = area["x_max"] + left_pad
             y_max = area["y_max"] + top_pad
+        if doc_size is not None:
+            H, W = doc_size
+            x_min = max(0, min(x_min, W - 1))
+            y_min = max(0, min(y_min, H - 1))
+            x_max = max(x_min + 1, min(x_max, W))
+            y_max = max(y_min + 1, min(y_max, H))
         if (len(label) <= MAX_CHAR_LEN and x_max - x_min < INPUT_SIZE[1]
                 and y_max - y_min < INPUT_SIZE[0]):
             out.append(dict(label=label, x_min=x_min, y_min=y_min,
@@ -283,7 +293,8 @@ class PatchDocuments:
                     img = np.asarray(pil, np.float32) / 255.0
                 entries = _parse_sidecar(
                     path.rsplit(".", 1)[0] + ".json",
-                    top_pad, left_pad, resize_w, resize_h)
+                    top_pad, left_pad, resize_w, resize_h,
+                    doc_size=(img.shape[0], img.shape[1]))
                 items.append((img, entries, path))
 
         next_id = 0

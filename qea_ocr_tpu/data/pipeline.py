@@ -192,7 +192,22 @@ def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
     t.start()
     try:
         while True:
-            err, item = q.get()
+            # Bounded wait + liveness check: a producer torn down without
+            # posting done/error (e.g. interpreter shutdown) must surface
+            # as an exception, not a consumer hang on q.get().
+            while True:
+                try:
+                    err, item = q.get(timeout=5.0)
+                    break
+                except queue.Empty:
+                    if not t.is_alive():
+                        try:  # drain a final item racing the liveness check
+                            err, item = q.get_nowait()
+                            break
+                        except queue.Empty:
+                            raise RuntimeError(
+                                "prefetch producer thread died without "
+                                "signalling completion") from None
             if err is not None:
                 raise err
             if item is done:

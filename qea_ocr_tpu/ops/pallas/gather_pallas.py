@@ -34,6 +34,12 @@ strip grid dimension. Parity with `get_text_stack_batch` (including
 degenerate/masked dummy boxes) is tested in tests/test_gather_pallas.py;
 interpreter mode covers CPU.
 
+Precondition: bboxes must lie inside the document with crop h <= 32 and
+w <= 128. The data layer guarantees this (datasets._parse_sidecar clamps
+boxes into the document and filters oversize crops); an out-of-bounds box
+fed directly would produce different pixels here (zero P/Q rows -> white)
+than the XLA path (take-clamping repeats edge pixels).
+
 Reference semantics: `utils.py:118-141` (crop, center-pad to (32,128) with
 white 1.0).
 """

@@ -81,7 +81,8 @@ def get_text_stack_batch(
     Implementation dispatch: on TPU at the production strip shape
     (32, 128) the extraction runs as a Pallas permutation-matmul kernel
     (`ops/pallas/gather_pallas.py` — XLA's take-of-take gather lowering is
-    VPU row-at-a-time and costs ~34 ms/step at 96x16); `QEA_GATHER_IMPL=xla`
+    VPU row-at-a-time and costs ~18 ms/step fwd+bwd at 96x16, vs ~2.2 ms
+    for the kernel); `QEA_GATHER_IMPL=xla`
     forces the reference vmapped-gather path. The env var is read at TRACE
     time: set it before the first call for a given shape/dtype — changing
     it later does not invalidate already-compiled jits.

@@ -41,9 +41,20 @@ def _load() -> Optional[ctypes.CDLL]:
         # back the old image for the rest of the process. `make` is a no-op
         # when the .so is newer than the source, and a failed make (no
         # toolchain) still falls through to loading an existing build.
+        # Inter-process build lock: concurrent first-users (parallel
+        # pytest, a quality run next to bench) must not race `make`'s
+        # write of the .so — a torn write fails the dlopen/version check
+        # and silently drops every process to the slow Python paths.
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
+            import fcntl
+            lock_path = os.path.join(_NATIVE_DIR, ".build.lock")
+            with open(lock_path, "w") as lock_f:
+                fcntl.flock(lock_f, fcntl.LOCK_EX)
+                try:
+                    subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                                   capture_output=True, timeout=120)
+                finally:
+                    fcntl.flock(lock_f, fcntl.LOCK_UN)
         except Exception:
             if not os.path.exists(_LIB_PATH):
                 raise

@@ -10,8 +10,15 @@ JOB_FILE=${JOB_FILE:-job_array}
 if [ -n "${TASK_ID:-}" ]; then
   row=$TASK_ID
 elif [ -n "${SLURM_ARRAY_TASK_ID:-}" ]; then
-  # rows are 1-based; SLURM arrays submitted 0-based shift up by one
-  row=$((SLURM_ARRAY_TASK_ID + ${JOB_ARRAY_BASE_OFFSET:-0}))
+  # rows are 1-based. A 0-based array (--array=0-N) is detected via
+  # SLURM_ARRAY_TASK_MIN and auto-shifted up by one so EVERY task maps to
+  # the right row (without this, task 0 errors loudly but tasks 1..N-1
+  # silently run the wrong rows and the last row never runs).
+  offset=${JOB_ARRAY_BASE_OFFSET:-}
+  if [ -z "$offset" ]; then
+    if [ "${SLURM_ARRAY_TASK_MIN:-1}" -eq 0 ]; then offset=1; else offset=0; fi
+  fi
+  row=$((SLURM_ARRAY_TASK_ID + offset))
 elif [ -n "${BATCH_TASK_INDEX:-}" ]; then
   row=$((BATCH_TASK_INDEX + 1))   # Cloud Batch indices are 0-based
 else
