@@ -22,13 +22,21 @@ import jax
 import jax.numpy as jnp
 import optax
 
-# CTC backend: "optax" (XLA-fused lax.scan) or "pallas" (custom alpha/beta
-# recursion kernels, `ops/pallas/ctc_pallas.py`). Switch with
-# QEA_CTC_IMPL=pallas. Measured on one v5e chip at production shapes
-# (T=31, B=512, V=95, L=100, fwd+bwd): pallas 1.19 ms vs optax 1.64 ms
-# (~1.4x faster with the time-major kernel layout). optax stays the default
-# pending broader numerical soak; flip the env var to use the Pallas path.
-CTC_IMPL = os.environ.get("QEA_CTC_IMPL", "optax")
+# CTC backend: "auto" (Pallas kernels on TPU, optax elsewhere), "optax"
+# (XLA-fused lax.scan), or "pallas" (custom alpha/beta recursion kernels,
+# `ops/pallas/ctc_pallas.py`). Measured on one v5e chip at production
+# shapes (T=31, B=512, V=95, L=100, fwd+bwd): pallas 1.19 ms vs optax
+# 1.64 ms (~1.4x faster with the time-major kernel layout). Numerical soak
+# vs optax: property sweep over shapes/seeds incl. degenerate labels
+# (empty, repeated-char, infeasible 2L+1 > T) in tests/test_pallas_ctc.py,
+# plus an end-to-end quality pipeline at QEA_CTC_IMPL=pallas
+# (benchmarks/RESULTS.md) — default-on for TPU since round 2. The env var
+# is read at TRACE time (same contract as QEA_GATHER_IMPL).
+def _use_pallas_ctc() -> bool:
+    impl = os.environ.get("QEA_CTC_IMPL", "auto")
+    if impl == "pallas":
+        return True
+    return impl == "auto" and jax.default_backend() == "tpu"
 
 
 def _to_batch_major(scores: jax.Array) -> jax.Array:
@@ -56,7 +64,7 @@ def ctc_loss_samplewise(
 
     Returns: (B,) float32 losses (NLL, not length-normalized).
     """
-    if CTC_IMPL == "pallas" and logit_lengths is None:
+    if _use_pallas_ctc() and logit_lengths is None:
         from qea_ocr_tpu.ops.pallas.ctc_pallas import ctc_loss_pallas
         return ctc_loss_pallas(
             scores.astype(jnp.float32), labels, label_lengths, pad_id, blank_id)

@@ -211,8 +211,15 @@ def _ctc_fwd_impl(log_probs, labels, label_lengths, pad_id, blank_id):
     E, skipf, elen2, z, B = _prep(log_probs, labels, label_lengths,
                                   pad_id, blank_id)
     nll, alpha = _run_forward(E, skipf, elen2)
-    return nll[:B, 0], (E, skipf, elen2, alpha, nll, z, B,
-                        log_probs.shape)
+    # Infeasible alignments (2*len+repeats-1 > T, e.g. an OCR garbage label
+    # longer than the 31 CRNN timesteps allow) hit the kernel's -1e30
+    # -inf surrogate; clamp the NLL to optax's log_epsilon magnitude (1e5)
+    # so a single impossible row cannot blow up a mean-reduced batch loss
+    # by 25 orders of magnitude. Gradients for such rows come out of the
+    # backward kernel as zeros (beta is all -inf), which is safer for
+    # training than optax's clamped-noise gradients.
+    return jnp.minimum(nll[:B, 0], 1e5), (E, skipf, elen2, alpha, nll, z, B,
+                                          log_probs.shape)
 
 
 def _ctc_vjp_fwd(log_probs, labels, label_lengths, pad_id, blank_id):

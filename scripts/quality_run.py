@@ -48,6 +48,13 @@ from qea_ocr_tpu.config import SELECTION_KEYS, WEIGHTGEN_KEYS  # noqa: E402
 
 SELECTION = os.environ.get("SELECTION", "rangeCER")
 WEIGHTGEN = os.environ.get("WEIGHTGEN", "decaying")
+# World-scale knobs shared with benchmarks/torch_reference_quality.py so
+# the reference-algorithm torch harness and this pipeline can run the SAME
+# world for quality-parity comparisons.
+TRAIN_DOCS = int(os.environ.get("TRAIN_DOCS", 256))
+VAL_DOCS = int(os.environ.get("VAL_DOCS", 16))
+EVAL_DOCS = int(os.environ.get("EVAL_DOCS", 16))
+WARM_SIZE = int(os.environ.get("WARM_SIZE", 4096))
 if SELECTION not in SELECTION_KEYS:
     raise SystemExit(f"unknown SELECTION {SELECTION!r} (one of {SELECTION_KEYS})")
 if WEIGHTGEN not in WEIGHTGEN_KEYS:
@@ -82,7 +89,7 @@ def main():
             batch_size=64, lr=3e-4,
             epochs=int(os.environ.get("WARM_EPOCHS", 30)),
             dataset="synthetic",
-            synthetic_train_size=4096, synthetic_val_size=256,
+            synthetic_train_size=WARM_SIZE, synthetic_val_size=256,
             corruption=WARMUP_CORRUPTION,
             ocr=None if warm_ocr == "gt" else warm_ocr, std=3,
             crnn_model_path=os.path.join(OUT, "crnn/model"),
@@ -100,7 +107,7 @@ def main():
     patch_cfg = PatchTrainerConfig(
         epochs=int(os.environ.get("PATCH_EPOCHS", 20)),
         ocr="Fake", dataset="synthetic",
-        synthetic_train_docs=256, synthetic_val_docs=16,
+        synthetic_train_docs=TRAIN_DOCS, synthetic_val_docs=VAL_DOCS,
         synthetic_strips_per_doc=STRIPS_PER_DOC,
         max_strips=STRIPS_PER_DOC, batch_docs=8,
         doc_size=DOC_SIZE,
@@ -126,7 +133,7 @@ def main():
                        key=os.path.getmtime)
     ev = EvalPrep(EvalPrepConfig(
         prep_path=ckpts[-1], dataset="synthetic_patch", ocr="Fake",
-        synthetic_docs=16, max_strips=STRIPS_PER_DOC,
+        synthetic_docs=EVAL_DOCS, max_strips=STRIPS_PER_DOC,
         synthetic_strips_per_doc=STRIPS_PER_DOC, batch_docs=8,
         doc_size=DOC_SIZE,
         corruption=CORRUPTION, random_seed=1234, show_orig=True))
