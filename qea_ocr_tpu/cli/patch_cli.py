@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pipeline host OCR over device compute")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard document batches over all devices")
+    p.add_argument("--tensor_parallel", type=int, default=0,
+                   help="model-axis shards of a 2-D (data x model) GSPMD "
+                        "mesh: params + optimizer moments feature-sharded, "
+                        "batch sharded over the data axis")
     return p
 
 
@@ -125,6 +129,7 @@ def config_from_args(args) -> PatchTrainerConfig:
         synthetic_val_docs=args.synthetic_val_docs, use_wandb=args.use_wandb,
         synthetic_strips_per_doc=args.synthetic_strips_per_doc,
         async_ocr=args.async_ocr, data_parallel=args.data_parallel,
+        tensor_parallel=args.tensor_parallel,
         **({"doc_size": tuple(args.doc_size)} if args.doc_size else {}),
     )
 

@@ -116,6 +116,12 @@ class PatchTrainerConfig:
                               # stale relative to the synchronous reference)
     data_parallel: bool = False  # shard the document batch over all devices
                                  # (batch_docs must divide the device count)
+    tensor_parallel: int = 0  # >0: 2-D (data x model) GSPMD mesh with this
+                              # many model-axis shards — params + Adam
+                              # moments feature-sharded over `model`
+                              # (parallel/tp.py), batch sharded over `data`;
+                              # the ZeRO/weight-sharded regime for larger
+                              # unet_features/lstm_hidden variants
     batch_docs: int = 1
     max_strips: int = 32
     dataset: str = "patch"                 # patch | synthetic
@@ -248,7 +254,29 @@ class TrainNNPrep:
         # the document axis; XLA partitions the same jitted steps and inserts
         # the gradient psum from the sharding annotations.
         self.mesh = None
-        if cfg.data_parallel:
+        if cfg.tensor_parallel:
+            # 2-D (data x model) mesh: params/moments feature-sharded over
+            # `model`, batches sharded over `data`. The batch-placement
+            # calls below are unchanged — P("data") on a 2-D mesh means
+            # "sharded over data, replicated over model".
+            from qea_ocr_tpu.parallel import (
+                make_mesh_2d, put_replicated, put_tp)
+            n_dev = len(jax.devices())
+            tp = cfg.tensor_parallel
+            if n_dev % tp:
+                raise ValueError(
+                    f"tensor_parallel={tp} must divide device count {n_dev}")
+            n_data = n_dev // tp
+            if cfg.batch_docs % n_data:
+                raise ValueError(
+                    f"batch_docs={cfg.batch_docs} must divide the data-axis "
+                    f"size {n_data} (= {n_dev} devices / tp {tp})")
+            self.mesh = make_mesh_2d(n_data, tp)
+            self.prep_state = put_tp(self.prep_state, self.mesh)
+            self.crnn_state = put_tp(self.crnn_state, self.mesh)
+            self.cer_table = put_replicated(self.cer_table, self.mesh)
+            self.ent_table = put_replicated(self.ent_table, self.mesh)
+        elif cfg.data_parallel:
             from qea_ocr_tpu.parallel import make_mesh, put_replicated
             self.mesh = make_mesh()
             n_dev = len(self.mesh.devices.flat)
@@ -258,9 +286,8 @@ class TrainNNPrep:
                     f"{n_dev} for data_parallel mode")
             self.prep_state = put_replicated(self.prep_state, self.mesh)
             self.crnn_state = put_replicated(self.crnn_state, self.mesh)
-            from qea_ocr_tpu.parallel import put_replicated as _pr
-            self.cer_table = _pr(self.cer_table, self.mesh)
-            self.ent_table = _pr(self.ent_table, self.mesh)
+            self.cer_table = put_replicated(self.cer_table, self.mesh)
+            self.ent_table = put_replicated(self.ent_table, self.mesh)
 
         self.logger = MetricsLogger(
             cfg.exp_base_path, use_wandb=cfg.use_wandb)

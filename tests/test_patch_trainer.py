@@ -260,6 +260,44 @@ class TestPatchTrainerVariants:
         assert trainer.ocr.total_calls == \
             recs[-1]["Total Train + Val BB Calls"]
 
+    def test_tensor_parallel_matches_data_parallel(self, tmp_path):
+        """--tensor_parallel 2 on the 8-virtual-device CPU mesh (4x2
+        data x model): params/Adam moments really shard over `model`, and a
+        full trainer epoch reproduces the pure-DP run's metrics (a
+        PartitionSpec constrains layout, not math)."""
+        import json as _json
+
+        import jax
+
+        common = dict(minibatch_subset="rangeCER", minibatch_subset_prop=0.5,
+                      epochs=1, synthetic_train_docs=8, batch_docs=8)
+        t_dp = TrainNNPrep(tiny_cfg(tmp_path / "dp", data_parallel=True,
+                                    **common))
+        t_dp.train()
+        t_tp = TrainNNPrep(tiny_cfg(tmp_path / "tp", tensor_parallel=2,
+                                    **common))
+        assert t_tp.mesh is not None and t_tp.mesh.shape == {
+            "data": 4, "model": 2}
+        # at least one conv kernel physically sharded on the model axis
+        from jax.sharding import PartitionSpec as P
+        leaves = jax.tree_util.tree_leaves_with_path(t_tp.prep_state.params)
+        sharded = [x for _, x in leaves
+                   if getattr(x.sharding, "spec", P())[-1:] == ("model",)]
+        assert sharded, "no parameter leaf sharded over the model axis"
+        t_tp.train()
+        rec_dp = _json.loads(open(str(tmp_path / "dp" / "metrics.jsonl")).readline())
+        rec_tp = _json.loads(open(str(tmp_path / "tp" / "metrics.jsonl")).readline())
+        # identical world/seeds/batching: only the parameter layout differs,
+        # so the runs must agree up to cross-shard reduction order
+        assert rec_tp["Black-Box Calls"] == rec_dp["Black-Box Calls"]
+        assert rec_tp["Total Train + Val BB Calls"] == \
+            rec_dp["Total Train + Val BB Calls"]
+        assert np.isfinite(rec_tp["train_loss"])
+        assert rec_tp["train_loss"] == pytest.approx(
+            rec_dp["train_loss"], rel=1e-2)
+        assert rec_tp["val_loss"] == pytest.approx(
+            rec_dp["val_loss"], rel=1e-2)
+
     def test_warmup_epochs_full_query(self, tmp_path):
         cfg = tiny_cfg(tmp_path, minibatch_subset="rangeCER",
                        warmup_epochs=1, epochs=1, inner_limit=1,
