@@ -81,15 +81,19 @@ def run_tpu(n_steps: int = 20, D: int = 96, S: int = 16) -> float:
     bb_mask = jnp.ones((N,), bool)
 
     def one_step(prep_state, crnn_state, cer_table, ent_table):
+        # two dispatches per batch, mirroring the trainer: prep_extract
+        # (host OCR happens between these in production), then the FUSED
+        # phase A+B program (no inter-phase host sync)
         _, strips = steps.prep_extract(prep_state, images, bboxes)
-        crnn_state, loss_a = steps.phase_a(
-            crnn_state, strips, bb_mask, hist_labels, hist_lengths,
-            hist_valid, lw, strips[None], hist_labels[:, 0][None],
-            hist_lengths[:, 0][None], decaying=True, inner_limit_skip=True)
-        prep_state, crnn_state, doc_out, metrics, cer_table, ent_table = \
-            steps.phase_b(prep_state, crnn_state, images, bboxes, strip_mask,
-                          gt_labels, cer_table, ent_table, gt_lengths,
-                          strip_ids, update_crnn=False)
+        prep_state, crnn_state, doc_out, metrics, cer_table, ent_table, _ = \
+            steps.phase_ab(prep_state, crnn_state, images, bboxes, strip_mask,
+                           gt_labels, cer_table, ent_table, gt_lengths,
+                           strip_ids, strips, bb_mask,
+                           hist_labels, hist_lengths, hist_valid, lw,
+                           strips[None], hist_labels[:, 0][None],
+                           hist_lengths[:, 0][None],
+                           decaying=True, inner_limit_skip=True,
+                           update_crnn=False)
         return prep_state, crnn_state, cer_table, ent_table, metrics["loss"]
 
     # warmup / compile. Sync via a host fetch of the loss value:

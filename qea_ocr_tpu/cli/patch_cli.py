@@ -88,8 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("H", "W"),
                    help="document canvas (default: config DOC_SIZE)")
     p.add_argument("--use_wandb", action="store_true")
-    p.add_argument("--async_ocr", action="store_true",
-                   help="pipeline host OCR over device compute")
+    p.add_argument("--async_ocr", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="pipeline host OCR over device compute (default on; "
+                        "--no-async_ocr restores reference-exact synchronous "
+                        "querying)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard document batches over all devices")
     p.add_argument("--tensor_parallel", type=int, default=0,

@@ -55,12 +55,10 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
         return doc_out, jax.lax.stop_gradient(strips)
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnames=("decaying", "inner_limit_skip"),
-             donate_argnums=(0,))
-    def phase_a(crnn_state, strips, bb_mask,
-                hist_labels, hist_lengths, hist_valid, loss_weights,
-                jitter_images, jitter_labels, jitter_lengths,
-                *, decaying: bool, inner_limit_skip: bool):
+    def _phase_a_impl(crnn_state, strips, bb_mask,
+                      hist_labels, hist_lengths, hist_valid, loss_weights,
+                      jitter_images, jitter_labels, jitter_lengths,
+                      *, decaying: bool, inner_limit_skip: bool):
         """CRNN (proxy) update.
 
         Args:
@@ -97,15 +95,14 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
         new_state = crnn_state.apply_gradients(grads)
         return new_state, loss
 
+    phase_a = jax.jit(_phase_a_impl,
+                      static_argnames=("decaying", "inner_limit_skip"),
+                      donate_argnums=(0,))
+
     # ------------------------------------------------------------------
-    # donate model states + tables: params/opt-state buffers update in place
-    # (trainers rebind both states right after each call, so the donated
-    # inputs are never touched again host-side)
-    @partial(jax.jit, static_argnames=("update_crnn",),
-             donate_argnums=(0, 1, 6, 7))
-    def phase_b(prep_state, crnn_state, images, bboxes, strip_mask,
-                gt_labels, cer_table, ent_table, gt_lengths, strip_ids,
-                *, update_crnn: bool):
+    def _phase_b_impl(prep_state, crnn_state, images, bboxes, strip_mask,
+                      gt_labels, cer_table, ent_table, gt_lengths, strip_ids,
+                      *, update_crnn: bool):
         """Preprocessor update + fused CER/entropy table update.
 
         prep runs in train mode (batch stats update); CRNN runs with FROZEN
@@ -158,6 +155,45 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
 
         metrics = dict(loss=loss, cers=cers, decoded=dec, decoded_len=dec_len)
         return new_prep, new_crnn, doc_out, metrics, new_cer_table, new_ent_table
+
+    # donate model states + tables: params/opt-state buffers update in place
+    # (trainers rebind both states right after each call, so the donated
+    # inputs are never touched again host-side)
+    phase_b = jax.jit(_phase_b_impl, static_argnames=("update_crnn",),
+                      donate_argnums=(0, 1, 6, 7))
+
+    # ------------------------------------------------------------------
+    def _phase_ab_impl(prep_state, crnn_state, images, bboxes, strip_mask,
+                       gt_labels, cer_table, ent_table, gt_lengths,
+                       strip_ids, strips, bb_mask,
+                       hist_labels, hist_lengths, hist_valid, loss_weights,
+                       jitter_images, jitter_labels, jitter_lengths,
+                       *, decaying: bool, inner_limit_skip: bool,
+                       update_crnn: bool):
+        """Fused phase A + phase B: one XLA program per training batch.
+
+        The reference's inter-phase boundary (`train_nn_patch.py:309-312`)
+        has no host work in this decomposition (the OCR fetch happens
+        before phase A), so fusing removes a dispatch + host sync per batch
+        and lets XLA overlap phase-A tail collectives with phase-B head
+        compute. Phase B sees the phase-A-updated CRNN, exactly like the
+        sequential calls.
+        """
+        new_crnn, loss_a = _phase_a_impl(
+            crnn_state, strips, bb_mask, hist_labels, hist_lengths,
+            hist_valid, loss_weights, jitter_images, jitter_labels,
+            jitter_lengths, decaying=decaying,
+            inner_limit_skip=inner_limit_skip)
+        out = _phase_b_impl(
+            prep_state, new_crnn, images, bboxes, strip_mask, gt_labels,
+            cer_table, ent_table, gt_lengths, strip_ids,
+            update_crnn=update_crnn)
+        return out + (loss_a,)
+
+    phase_ab = jax.jit(
+        _phase_ab_impl,
+        static_argnames=("decaying", "inner_limit_skip", "update_crnn"),
+        donate_argnums=(0, 1, 6, 7))
 
     # ------------------------------------------------------------------
     @partial(jax.jit, donate_argnums=(0,))
@@ -215,6 +251,7 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
         prep_extract=prep_extract,
         phase_a=phase_a,
         phase_b=phase_b,
+        phase_ab=phase_ab,
         prep_pretrain_step=prep_pretrain_step,
         val_forward=val_forward,
         entropy_of=entropy_of,

@@ -111,9 +111,14 @@ class PatchTrainerConfig:
                                    # the UNet's skip connections make near-
                                    # identity easy to reach quickly
     # TPU-native additions
-    async_ocr: bool = False   # pipeline host OCR of batch k+1 over device
+    async_ocr: bool = True    # pipeline host OCR of batch k+1 over device
                               # compute of batch k (strips one prep-update
-                              # stale relative to the synchronous reference)
+                              # stale relative to the synchronous reference;
+                              # identical budget accounting — measured 28%
+                              # wall-clock win, benchmarks/RESULTS.md).
+                              # Default ON since round 2; --no-async_ocr /
+                              # async_ocr=False restores reference-exact
+                              # synchronous querying.
     data_parallel: bool = False  # shard the document batch over all devices
                                  # (batch_docs must divide the device count)
     tensor_parallel: int = 0  # >0: 2-D (data x model) GSPMD mesh with this
@@ -614,28 +619,39 @@ class TrainNNPrep:
                 jitter_labels[i, sel_rows] = res.labels
                 jitter_lengths[i, sel_rows] = res.lengths
 
-            with self.timer.time("phase_a"):
-                self.crnn_state, loss = self.steps.phase_a(
-                    self.crnn_state, strips, jnp.asarray(work["flat_bb"]),
+            # fused phase A + B: one dispatch, no inter-phase host sync
+            # (the reference boundary `train_nn_patch.py:309-312` carries
+            # no host work here — OCR results were fetched above)
+            with self.timer.time("phase_ab"):
+                (self.prep_state, self.crnn_state, doc_out, metrics,
+                 self.cer_table, self.ent_table, loss) = self.steps.phase_ab(
+                    self.prep_state, self.crnn_state, work["images"],
+                    work["bboxes"], jnp.asarray(batch.strip_mask),
+                    jnp.asarray(batch.gt_labels),
+                    self.cer_table, self.ent_table,
+                    jnp.asarray(batch.gt_lengths),
+                    jnp.asarray(batch.strip_ids),
+                    strips, jnp.asarray(work["flat_bb"]),
                     jnp.asarray(hist_labels), jnp.asarray(hist_lengths),
                     jnp.asarray(hist_valid), loss_weights,
                     jnp.asarray(jitter_images), jnp.asarray(jitter_labels),
                     jnp.asarray(jitter_lengths),
                     decaying=(cfg.weightgen_method == "decaying"),
-                    inner_limit_skip=cfg.inner_limit_skip)
+                    inner_limit_skip=cfg.inner_limit_skip,
+                    update_crnn=cfg.update_CRNN)
             crnn_loss = float(loss)
             crnn_updates = 1
-
-        with self.timer.time("phase_b"):
-            (self.prep_state, self.crnn_state, doc_out, metrics,
-             self.cer_table, self.ent_table) = self.steps.phase_b(
-                self.prep_state, self.crnn_state, work["images"],
-                work["bboxes"], jnp.asarray(batch.strip_mask),
-                jnp.asarray(batch.gt_labels),
-                self.cer_table, self.ent_table,
-                jnp.asarray(batch.gt_lengths),
-                jnp.asarray(batch.strip_ids),
-                update_crnn=cfg.update_CRNN)
+        else:
+            with self.timer.time("phase_b"):
+                (self.prep_state, self.crnn_state, doc_out, metrics,
+                 self.cer_table, self.ent_table) = self.steps.phase_b(
+                    self.prep_state, self.crnn_state, work["images"],
+                    work["bboxes"], jnp.asarray(batch.strip_mask),
+                    jnp.asarray(batch.gt_labels),
+                    self.cer_table, self.ent_table,
+                    jnp.asarray(batch.gt_lengths),
+                    jnp.asarray(batch.strip_ids),
+                    update_crnn=cfg.update_CRNN)
 
         if cfg.minibatch_subset:
             D, S = cfg.batch_docs, cfg.max_strips

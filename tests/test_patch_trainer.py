@@ -154,12 +154,15 @@ class TestPatchTrainerVariants:
         assert trainer.global_bitmap.sum() == max(
             1, int(round(0.25 * trainer.dataset.num_strips)))
 
-    def test_async_ocr_pipeline_same_budget(self, tmp_path):
+    def test_sync_ocr_same_budget(self, tmp_path):
+        """async_ocr defaults ON (the suite's other trainers cover it);
+        --no-async_ocr (reference-exact synchronous querying) must keep the
+        identical budget ledger."""
         cfg = tiny_cfg(tmp_path, minibatch_subset="rangeCER",
-                       minibatch_subset_prop=0.5, async_ocr=True)
+                       minibatch_subset_prop=0.5, async_ocr=False)
         trainer = TrainNNPrep(cfg)
         best_acc, _ = trainer.train()
-        # identical budget accounting to the synchronous run
+        # identical budget accounting to the async-pipelined run
         assert trainer.ocr.total_calls == 2 * (16 + 6)
         with open(os.path.join(str(tmp_path), "metrics.jsonl")) as f:
             recs = [json.loads(l) for l in f]
