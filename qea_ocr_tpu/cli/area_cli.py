@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prep_pretrain_epochs", type=int, default=0,
                    help="identity/denoise UNet pretraining epochs")
     p.add_argument("--prep_pretrain_lr", type=float, default=1e-3)
+    p.add_argument("--prep_ema", type=float, default=0.0,
+                   help=">0: validate/checkpoint an EMA of the prep params "
+                        "(drift countermeasure; e.g. 0.99)")
     p.add_argument("--use_wandb", action="store_true")
     return p
 
@@ -89,6 +92,7 @@ def config_from_args(args) -> AreaTrainerConfig:
         synthetic_val_size=args.synthetic_val_size, use_wandb=args.use_wandb,
         prep_pretrain_epochs=args.prep_pretrain_epochs,
         prep_pretrain_lr=args.prep_pretrain_lr,
+        prep_ema=args.prep_ema,
     )
 
 

@@ -91,6 +91,16 @@ class AreaTrainerConfig:
     # exposed as an opt-in extension here.
     lr_scheduler_prep: Optional[str] = None
     # TPU-native additions
+    prep_ema: float = 0.0     # >0: keep an exponential moving average of the
+                              # prep params (decay=this value, updated after
+                              # every phase-B step) and use it for validation
+                              # and checkpoints. Counteracts the word-crop
+                              # path's late-run co-adaptation drift (the prep
+                              # warping glyphs the robust proxy reads but the
+                              # black box does not, benchmarks/RESULTS.md):
+                              # the EMA stays near the average of the stable
+                              # early region while the raw params keep
+                              # exploring. 0 disables (reference behavior).
     prep_pretrain_epochs: int = 0  # identity/denoise UNet pretraining before
                                    # the budget loop (skipped when a
                                    # --prep_model checkpoint is loaded);
@@ -266,6 +276,17 @@ class TrainNNPrepArea:
         self._compare = jax.jit(compare_labels_device)
         self._last_crnn_loss = 0.0
 
+        self.ema_params = None
+        if cfg.prep_ema > 0.0:
+            # deep-copy: phase_b DONATES prep_state, so aliasing its param
+            # buffers here would leave the EMA pointing at deleted arrays
+            self.ema_params = jax.tree_util.tree_map(
+                jnp.array, self.prep_state.params)
+            decay = float(cfg.prep_ema)
+            self._ema_update = jax.jit(
+                lambda ema, p: jax.tree_util.tree_map(
+                    lambda a, b: decay * a + (1.0 - decay) * b, ema, p))
+
     # ------------------------------------------------------------------
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -391,6 +412,9 @@ class TrainNNPrepArea:
                     jnp.asarray(batch.labels), self.cer_table, self.ent_table,
                     jnp.asarray(batch.lengths), ids,
                     update_crnn=cfg.update_CRNN)
+                if self.ema_params is not None:
+                    self.ema_params = self._ema_update(
+                        self.ema_params, self.prep_state.params)
                 training_loss += float(metrics["loss"])
                 steps += 1
                 last_img_out = img_out
@@ -427,13 +451,13 @@ class TrainNNPrepArea:
             ocr_acc = val["ocr_acc"]
             prep_path = os.path.join(
                 self.dirs.ckpts, f"Prep_model_{epoch}_{ocr_acc * 100:.2f}")
-            save_checkpoint(prep_path, self.prep_state)
+            save_checkpoint(prep_path, self._eval_prep_state())
             save_checkpoint(os.path.join(self.dirs.ckpts, f"CRNN_model_{epoch}"),
                             self.crnn_state)
             if ocr_acc > best_val_acc:
                 best_val_acc, best_val_epoch = ocr_acc, epoch
                 save_checkpoint(os.path.join(self.dirs.ckpts, "Prep_model_best"),
-                                self.prep_state)
+                                self._eval_prep_state())
                 self.logger.update_summary({"best_val_acc": best_val_acc,
                                             "best_val_epoch": best_val_epoch})
             self._maybe_optuna(ocr_acc * 100, epoch)
@@ -488,6 +512,13 @@ class TrainNNPrepArea:
         self._last_crnn_loss = float(loss)
 
     # ------------------------------------------------------------------
+    def _eval_prep_state(self):
+        """Validation/checkpoint view of the prep: EMA params when enabled
+        (the deployable artifact), raw training params otherwise."""
+        if self.ema_params is None:
+            return self.prep_state
+        return self.prep_state.replace(params=self.ema_params)
+
     def _validate(self):
         cfg = self.cfg
         B = cfg.batch_size
@@ -500,7 +531,8 @@ class TrainNNPrepArea:
                 shuffle=False, drop_last=True,
                 num_workers=default_num_workers(), prefetch=2):
             img_out, dec, dec_len, loss = self.steps.val_forward(
-                self.prep_state, self.crnn_state, jnp.asarray(batch.images),
+                self._eval_prep_state(), self.crnn_state,
+                jnp.asarray(batch.images),
                 jnp.asarray(batch.labels), jnp.asarray(batch.lengths))
             res = self.ocr.query(np.asarray(img_out))
             ocr_labels = jnp.asarray(res.labels)

@@ -80,6 +80,7 @@ def main():
         # 1.0 + lr_prep 2e-5 -> holds ~69% for 4 epochs before drifting.
         scalar=float(os.environ.get("SCALAR", 1.0)),
         prep_pretrain_epochs=int(os.environ.get("PREP_PRETRAIN", 6)),
+        prep_ema=float(os.environ.get("PREP_EMA", 0.0)),
         lr_prep=float(os.environ.get("LR_PREP", 2e-5)),
         lr_scheduler_prep=LR_SCHED_PREP,
         lr_crnn=float(os.environ.get("LR_CRNN", 1e-4)),

@@ -50,6 +50,34 @@ class TestAreaTrainer:
         # epoch index 1 of 2: cos(pi/2)/... -> 0.5 * base
         assert lr == pytest.approx(0.5 * trainer.cfg.lr_crnn, rel=1e-3)
 
+    def test_prep_ema_checkpoints_ema_params(self, tmp_path):
+        """With prep_ema on, validation/checkpoints use the EMA params:
+        they track but lag the raw training params, and the saved best
+        checkpoint holds the EMA values, not the raw ones."""
+        import jax
+        from qea_ocr_tpu.utils.io import load_checkpoint
+
+        cfg = AreaTrainerConfig(
+            batch_size=8, epochs=1, ocr="Fake", dataset="synthetic",
+            synthetic_train_size=16, synthetic_val_size=8,
+            corruption=dict(noise_std=0.08, shading=0.1, salt_pepper=0.0),
+            inner_limit=1, inner_limit_skip=True, window_size=1,
+            lstm_hidden=32, unet_features=8, exp_base_path=str(tmp_path),
+            prep_ema=0.9)
+        trainer = TrainNNPrepArea(cfg)
+        trainer.train()
+        leaves_raw = jax.tree_util.tree_leaves(trainer.prep_state.params)
+        leaves_ema = jax.tree_util.tree_leaves(trainer.ema_params)
+        diffs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                 for a, b in zip(leaves_raw, leaves_ema)]
+        assert max(diffs) > 0.0  # EMA lags the raw params
+        # per-epoch checkpoint always written (best_* requires val acc > 0)
+        ckpt = glob.glob(os.path.join(str(tmp_path), "ckpts",
+                                      "Prep_model_0_*"))[0]
+        loaded = load_checkpoint(ckpt, trainer.prep_state)
+        for a, b in zip(jax.tree_util.tree_leaves(loaded.params), leaves_ema):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
 
 class TestEvalPrep:
     def test_eval_area_roundtrip(self, area_run, tmp_path):
