@@ -27,7 +27,11 @@ def log(*a):
 def run_tpu(n_steps: int = 20, D: int = 96, S: int = 16) -> float:
     """96-doc batches: measured sweet spot on a single v5e — per-doc step
     time improves ~2.3x over 32-doc batches (fixed overheads + small-grid
-    tiling amortize); 128-doc phase_b exceeds 15.75G HBM at compile."""
+    tiling amortize). Larger batches OOM at compile (15.75G HBM): the fused
+    step needs 22.05G at D=112; per-block `UNet.remat` makes it WORSE
+    (18.43G at D=96 vs fitting without) because the checkpoint barriers
+    defeat XLA's elementwise-into-conv fusion that keeps the liveset lean.
+    See benchmarks/RESULTS.md 'Batch-size and remat levers'."""
     import jax
     import jax.numpy as jnp
     import numpy as np

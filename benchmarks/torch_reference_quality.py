@@ -193,7 +193,9 @@ def warmup_crnn(charmap, ocr):
     tr_labels = ocr.get_labels(tr_imgs)
     va_labels = ocr.get_labels(va_imgs)
 
-    opt = torch.optim.Adam(crnn.parameters(), lr=3e-4, weight_decay=5e-4)
+    # reference train_crnn.py:132 uses plain Adam (no weight decay); the JAX
+    # warmup (train/crnn_trainer.py) matches with adam_l2(wd=0.0)
+    opt = torch.optim.Adam(crnn.parameters(), lr=3e-4)
     sched = torch.optim.lr_scheduler.StepLR(opt, step_size=10, gamma=0.8)
     ctc = torch.nn.CTCLoss(blank=charmap.blank_id, zero_infinity=True)
     best_acc, best_state = -1.0, None
