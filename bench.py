@@ -84,20 +84,35 @@ def run_tpu(n_steps: int = 20, D: int = 96, S: int = 16) -> float:
     lw = decaying_weights(0.7, W)
     bb_mask = jnp.ones((N,), bool)
 
+    fused = bool(int(os.environ.get("QEA_BENCH_FUSED", "1")))
+
     def one_step(prep_state, crnn_state, cer_table, ent_table):
         # two dispatches per batch, mirroring the trainer: prep_extract
         # (host OCR happens between these in production), then the FUSED
-        # phase A+B program (no inter-phase host sync)
+        # phase A+B program (no inter-phase host sync).
+        # QEA_BENCH_FUSED=0 probes the split-phase path (two smaller XLA
+        # programs — lower peak HBM, one extra dispatch per batch).
         _, strips = steps.prep_extract(prep_state, images, bboxes)
-        prep_state, crnn_state, doc_out, metrics, cer_table, ent_table, _ = \
-            steps.phase_ab(prep_state, crnn_state, images, bboxes, strip_mask,
-                           gt_labels, cer_table, ent_table, gt_lengths,
-                           strip_ids, strips, bb_mask,
-                           hist_labels, hist_lengths, hist_valid, lw,
-                           strips[None], hist_labels[:, 0][None],
-                           hist_lengths[:, 0][None],
-                           decaying=True, inner_limit_skip=True,
-                           update_crnn=False)
+        if fused:
+            prep_state, crnn_state, doc_out, metrics, cer_table, ent_table, _ = \
+                steps.phase_ab(prep_state, crnn_state, images, bboxes,
+                               strip_mask, gt_labels, cer_table, ent_table,
+                               gt_lengths, strip_ids, strips, bb_mask,
+                               hist_labels, hist_lengths, hist_valid, lw,
+                               strips[None], hist_labels[:, 0][None],
+                               hist_lengths[:, 0][None],
+                               decaying=True, inner_limit_skip=True,
+                               update_crnn=False)
+        else:
+            crnn_state, _ = steps.phase_a(
+                crnn_state, strips, bb_mask, hist_labels, hist_lengths,
+                hist_valid, lw, strips[None], hist_labels[:, 0][None],
+                hist_lengths[:, 0][None], decaying=True,
+                inner_limit_skip=True)
+            prep_state, crnn_state, doc_out, metrics, cer_table, ent_table = \
+                steps.phase_b(prep_state, crnn_state, images, bboxes,
+                              strip_mask, gt_labels, cer_table, ent_table,
+                              gt_lengths, strip_ids, update_crnn=False)
         return prep_state, crnn_state, cer_table, ent_table, metrics["loss"]
 
     # warmup / compile. Sync via a host fetch of the loss value:
