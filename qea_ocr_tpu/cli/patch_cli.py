@@ -76,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", help="write a jax.profiler trace here")
     p.add_argument("--prep_pretrain_epochs", type=int, default=0,
                    help="identity/denoise UNet pretraining epochs")
+    p.add_argument("--prep_ema", type=float, default=0.0,
+                   help=">0: validate/checkpoint an EMA of the prep params "
+                        "(decay=this value) instead of the raw training "
+                        "params — filters co-adaptation drift out of the "
+                        "deployed artifact (benchmarks/RESULTS.md)")
     # TPU-native
     p.add_argument("--batch_docs", type=int, default=1,
                    help="documents per device step (reference fixes 1)")
@@ -126,6 +131,7 @@ def config_from_args(args) -> PatchTrainerConfig:
         tracked_labels_path=args.tracked_labels_path,
         profile_dir=args.profile_dir,
         prep_pretrain_epochs=args.prep_pretrain_epochs,
+        prep_ema=args.prep_ema,
         batch_docs=args.batch_docs,
         max_strips=args.max_strips, dataset=args.dataset,
         synthetic_train_docs=args.synthetic_train_docs,

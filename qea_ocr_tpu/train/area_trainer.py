@@ -336,6 +336,11 @@ class TrainNNPrepArea:
         cfg = self.cfg
         if cfg.prep_pretrain_epochs and not cfg.prep_model:
             self._prep_pretrain()
+        if self.ema_params is not None:
+            # re-seed from the post-pretrain params so the average never
+            # blends the untrained init (pretrain updates bypass the EMA)
+            self.ema_params = jax.tree_util.tree_map(
+                jnp.array, self.prep_state.params)
         B = cfg.batch_size
         L = self.charmap.max_len
         W = cfg.window_size

@@ -127,6 +127,15 @@ class PatchTrainerConfig:
                               # (parallel/tp.py), batch sharded over `data`;
                               # the ZeRO/weight-sharded regime for larger
                               # unet_features/lstm_hidden variants
+    prep_ema: float = 0.0  # >0: keep an exponential moving average of the
+                           # prep params (decay=this value, updated after
+                           # every phase-B step) and use it for validation
+                           # and checkpoints. Same co-adaptation-drift
+                           # countermeasure as the area trainer's
+                           # --prep_ema (benchmarks/RESULTS.md ablation:
+                           # 73.8% -> 86.7% on the word-crop path). Seeded
+                           # AFTER pretrain/warm-start so the average never
+                           # blends untrained init params.
     batch_docs: int = 1
     max_strips: int = 32
     dataset: str = "patch"                 # patch | synthetic
@@ -298,6 +307,20 @@ class TrainNNPrep:
             cfg.exp_base_path, use_wandb=cfg.use_wandb)
         self.timer = StepTimer()
         self._compare = jax.jit(compare_labels_device)
+        self.ema_params = None      # seeded in _train_impl (post-pretrain)
+        if cfg.prep_ema > 0.0:
+            decay = float(cfg.prep_ema)
+            self._ema_update = jax.jit(
+                lambda ema, p: jax.tree_util.tree_map(
+                    lambda a, b: decay * a + (1.0 - decay) * b, ema, p))
+
+    # ------------------------------------------------------------------
+    def _eval_prep_state(self):
+        """Validation/checkpoint view of the prep: EMA params when enabled
+        (the deployable artifact), raw training params otherwise."""
+        if self.ema_params is None:
+            return self.prep_state
+        return self.prep_state.replace(params=self.ema_params)
 
     # ------------------------------------------------------------------
     def _training_indices(self) -> np.ndarray:
@@ -392,6 +415,12 @@ class TrainNNPrep:
         cfg = self.cfg
         if cfg.prep_pretrain_epochs and not cfg.prep_model:
             self._prep_pretrain()
+        if cfg.prep_ema > 0.0:
+            # deep-copy: phase_ab/phase_b DONATE prep_state, so aliasing its
+            # param buffers here would leave the EMA pointing at deleted
+            # arrays
+            self.ema_params = jax.tree_util.tree_map(
+                jnp.array, self.prep_state.params)
         D, S = cfg.batch_docs, cfg.max_strips
         N = D * S
         L = self.charmap.max_len
@@ -505,7 +534,7 @@ class TrainNNPrep:
             ocr_acc = val["ocr_acc"]
             prep_path = os.path.join(
                 self.dirs.ckpts, f"Prep_model_{epoch}_{ocr_acc * 100:.2f}")
-            save_checkpoint(prep_path, self.prep_state)
+            save_checkpoint(prep_path, self._eval_prep_state())
             save_checkpoint(
                 os.path.join(self.dirs.ckpts, f"CRNN_model_{epoch}"),
                 self.crnn_state)
@@ -513,7 +542,7 @@ class TrainNNPrep:
                 best_val_acc, best_val_epoch = ocr_acc, epoch
                 save_checkpoint(
                     os.path.join(self.dirs.ckpts, "Prep_model_best"),
-                    self.prep_state)
+                    self._eval_prep_state())
                 self.logger.update_summary({
                     "best_val_acc": best_val_acc,
                     "best_val_epoch": best_val_epoch,
@@ -653,6 +682,10 @@ class TrainNNPrep:
                     jnp.asarray(batch.strip_ids),
                     update_crnn=cfg.update_CRNN)
 
+        if self.ema_params is not None:
+            self.ema_params = self._ema_update(
+                self.ema_params, self.prep_state.params)
+
         if cfg.minibatch_subset:
             D, S = cfg.batch_docs, cfg.max_strips
             cers_np = np.asarray(metrics["cers"]).reshape(D, S)
@@ -697,7 +730,7 @@ class TrainNNPrep:
                 # `train_nn_patch.py:366-398`)
                 batch = pad_docbatch(batch, D)
             doc_out, strips, dec, dec_len, loss = self.steps.val_forward(
-                self.prep_state, self.crnn_state,
+                self._eval_prep_state(), self.crnn_state,
                 jnp.asarray(batch.images), jnp.asarray(batch.bboxes),
                 jnp.asarray(batch.strip_mask),
                 jnp.asarray(batch.gt_labels), jnp.asarray(batch.gt_lengths))

@@ -116,6 +116,7 @@ def main():
         inner_limit=2, inner_limit_skip=True, window_size=3,
         weightgen_method=WEIGHTGEN, scalar=0.1,
         prep_pretrain_epochs=int(os.environ.get("PREP_PRETRAIN", 8)),
+        prep_ema=float(os.environ.get("PREP_EMA", 0.0)),
         lr_prep=5e-5, lr_crnn=1e-4,
         crnn_model=crnn_ckpt,
         exp_base_path=os.path.join(OUT, "patch"))

@@ -169,6 +169,28 @@ class TestPatchTrainerVariants:
         assert len(recs) == 2
         assert np.isfinite(recs[-1]["train_loss"])
 
+    def test_prep_ema_checkpoints_ema_params(self, tmp_path):
+        """With prep_ema on, the EMA tracks-but-lags the raw prep params and
+        is what the per-epoch checkpoint stores (same contract as the area
+        trainer's --prep_ema)."""
+        import jax
+        from qea_ocr_tpu.utils.io import load_checkpoint
+
+        cfg = tiny_cfg(tmp_path, minibatch_subset="rangeCER",
+                       minibatch_subset_prop=0.5, prep_ema=0.9)
+        trainer = TrainNNPrep(cfg)
+        trainer.train()
+        leaves_raw = jax.tree_util.tree_leaves(trainer.prep_state.params)
+        leaves_ema = jax.tree_util.tree_leaves(trainer.ema_params)
+        diffs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                 for a, b in zip(leaves_raw, leaves_ema)]
+        assert max(diffs) > 0.0  # EMA lags the raw params
+        ckpt = glob.glob(os.path.join(str(tmp_path), "ckpts",
+                                      "Prep_model_1_*"))[0]
+        loaded = load_checkpoint(ckpt, trainer.prep_state)
+        for a, b in zip(jax.tree_util.tree_leaves(loaded.params), leaves_ema):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
     def test_prep_pretrain_reduces_recon_mse(self, tmp_path):
         import jax.numpy as jnp
         cfg = tiny_cfg(tmp_path, epochs=1, inner_limit=0,
