@@ -66,10 +66,14 @@ class DocumentCleaner:
 
         @jax.jit
         def fwd(state, images):
-            out = self.model.apply(state.variables, images, train=False)
-            # quantize on device: the host link (tunneled TPUs especially)
-            # is the serving bottleneck — uint8 moves 4x less than float32
-            # and is what the PNG encoder wants anyway
+            # both transfer directions are uint8: the host link (tunneled
+            # TPUs especially) is the serving bottleneck — uint8 moves 4x
+            # less than float32 each way, is lossless for 8-bit image
+            # sources, and is what the PNG encoder wants anyway.
+            # Normalization/quantization happen on device.
+            out = self.model.apply(state.variables,
+                                   images.astype(jnp.float32) / 255.0,
+                                   train=False)
             return jnp.round(out * 255.0).clip(0, 255).astype(jnp.uint8)
 
         self._fwd = fwd
@@ -110,14 +114,17 @@ class DocumentCleaner:
             yield batch, geoms
 
     def _dispatch(self, batch: List[np.ndarray]):
-        """Pad the batch to the static batch size and run the jitted fwd."""
+        """Pad the batch to the static batch size and run the jitted fwd.
+        Uploads uint8 (host-side quantization of the float [0,1] canvases
+        — exact for images that came from 8-bit files)."""
         import jax.numpy as jnp
         n = len(batch)
-        arr = np.stack(batch)[:, None]                    # (n, 1, H, W)
+        arr = np.round(np.stack(batch)[:, None] * 255.0).clip(0, 255) \
+                .astype(np.uint8)                         # (n, 1, H, W)
         if n < self.batch_size:
             arr = np.concatenate(
-                [arr, np.ones((self.batch_size - n, 1, *self.doc_size),
-                              np.float32)])
+                [arr, np.full((self.batch_size - n, 1, *self.doc_size),
+                              255, np.uint8)])
         return self._fwd(self.state, jnp.asarray(arr))[:n]
 
     @staticmethod
