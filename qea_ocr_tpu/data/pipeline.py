@@ -108,9 +108,19 @@ def batch_iterator(
     indices: Optional[np.ndarray] = None,
     num_workers: int = 0,
     prefetch: int = 0,
+    host_shard: Optional[tuple] = None,
 ) -> Iterator:
     """Shuffled fixed-size batches; optional index subset (pruning /
     image_prop subsampling parity with SubsetRandomSampler usage).
+
+    `host_shard=(process_index, process_count)` enables multi-host data
+    parallelism: `batch_size` is then the GLOBAL batch size, the shuffle
+    (same seed on every host) fixes a shared global permutation, and this
+    iterator yields only this host's `batch_size // process_count` rows of
+    each global batch, in step order (`parallel/multihost.py` assembles the
+    global device array from these local shards). Trailing partial batches
+    are always dropped in this mode — hosts must take the same number of
+    lockstep steps.
 
     `num_workers > 0` fetches the samples of a batch through a thread pool
     (the counterpart of torch DataLoader workers, `properties.py:34` — PNG
@@ -125,6 +135,12 @@ def batch_iterator(
     if shuffle:
         rng = np.random.default_rng(seed + epoch)
         indices = rng.permutation(indices)
+    if host_shard is not None:
+        from qea_ocr_tpu.parallel.multihost import shard_indices_for_host
+        pi, pc = host_shard
+        indices = shard_indices_for_host(indices, batch_size, pi, pc)
+        batch_size //= pc
+        drop_last = True  # lockstep across hosts; shard already windowed
     n = len(indices)
     end = n - (n % batch_size) if drop_last else n
 

@@ -6,6 +6,12 @@ from qea_ocr_tpu.parallel.mesh import (  # noqa: F401
     put_replicated,
     replicated,
 )
+from qea_ocr_tpu.parallel.multihost import (  # noqa: F401
+    global_from_local,
+    local_batch_size,
+    put_batch_global,
+    shard_indices_for_host,
+)
 from qea_ocr_tpu.parallel.tp import (  # noqa: F401
     MODEL_AXIS,
     make_mesh_2d,

@@ -402,8 +402,8 @@ class TrainNNPrep:
                     indices=self.train_indices):
                 images = jnp.asarray(batch.images)
                 if self.mesh is not None:
-                    from qea_ocr_tpu.parallel import put_batch
-                    images = put_batch(images, self.mesh)
+                    from qea_ocr_tpu.parallel import put_batch_global
+                    images = put_batch_global(images, self.mesh)
                 self.prep_state, loss = self.steps.prep_pretrain_step(
                     self.prep_state, images)
                 total += float(loss)
@@ -562,9 +562,9 @@ class TrainNNPrep:
         images = jnp.asarray(batch.images)
         bboxes = jnp.asarray(batch.bboxes)
         if self.mesh is not None:
-            from qea_ocr_tpu.parallel import put_batch
-            images = put_batch(images, self.mesh)
-            bboxes = put_batch(bboxes, self.mesh)
+            from qea_ocr_tpu.parallel import put_batch_global
+            images = put_batch_global(images, self.mesh)
+            bboxes = put_batch_global(bboxes, self.mesh)
         with self.timer.time("prep_extract"):
             _, strips = self.steps.prep_extract(self.prep_state, images, bboxes)
         bb_mask = self._select(batch, epoch)              # (D, S) bool
