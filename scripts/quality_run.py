@@ -55,6 +55,15 @@ TRAIN_DOCS = int(os.environ.get("TRAIN_DOCS", 256))
 VAL_DOCS = int(os.environ.get("VAL_DOCS", 16))
 EVAL_DOCS = int(os.environ.get("EVAL_DOCS", 16))
 WARM_SIZE = int(os.environ.get("WARM_SIZE", 4096))
+# Documents per device step. The reference trains at bs=1 document
+# (train_nn_patch.py:37), i.e. TRAIN_DOCS optimizer steps per epoch; the
+# TPU pipeline batches documents per step, so at small TRAIN_DOCS the
+# default 8 leaves the optimizers step-starved relative to the reference at
+# equal epochs. For apples-to-apples quality-parity runs against
+# benchmarks/torch_reference_quality.py, shrink this (BATCH_DOCS=2) to
+# roughly match the reference's optimizer-step count; the per-epoch
+# black-box query ledger is unchanged (budget is a per-batch fraction).
+BATCH_DOCS = int(os.environ.get("BATCH_DOCS", 8))
 if SELECTION not in SELECTION_KEYS:
     raise SystemExit(f"unknown SELECTION {SELECTION!r} (one of {SELECTION_KEYS})")
 if WEIGHTGEN not in WEIGHTGEN_KEYS:
@@ -109,7 +118,7 @@ def main():
         ocr="Fake", dataset="synthetic",
         synthetic_train_docs=TRAIN_DOCS, synthetic_val_docs=VAL_DOCS,
         synthetic_strips_per_doc=STRIPS_PER_DOC,
-        max_strips=STRIPS_PER_DOC, batch_docs=8,
+        max_strips=STRIPS_PER_DOC, batch_docs=BATCH_DOCS,
         doc_size=DOC_SIZE,
         corruption=CORRUPTION,
         minibatch_subset=SELECTION, minibatch_subset_prop=BUDGET_PROP,
