@@ -1,0 +1,95 @@
+"""REAL multi-process execution of the multi-host DP layer.
+
+Spawns a 2-process JAX CPU cluster (jax.distributed + Gloo collectives,
+4 virtual devices per process = one 8-device global mesh) in subprocesses
+and runs the data-parallel train-step pattern end-to-end through the
+framework's multi-host pieces:
+
+    batch_iterator(host_shard=(p, 2))   # each process loads its rows only
+      -> put_batch_global(...)          # make_array_from_process_local_data
+        -> jitted value_and_grad step   # GSPMD inserts the gradient psum
+
+Both processes must converge to the same loss/parameters as a
+single-process run of the identical computation — proving the shared-seed
+shuffle, the per-host batch windows, and the global-array row placement
+compose correctly under real multi-process semantics (not just the
+single-process layout emulation in test_multihost.py).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+DATASET_N = 64
+FEATURES = 8
+GLOBAL_BATCH = 8
+STEPS = 3
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_sample(i: int):
+    """Deterministic linear-regression sample (x, y) with y = x @ w*."""
+    rng = np.random.default_rng(1000 + i)
+    x = rng.normal(size=(FEATURES,)).astype(np.float32)
+    w_star = np.arange(FEATURES, dtype=np.float32) / FEATURES
+    return x, float(x @ w_star)
+
+
+def reference_run():
+    """Single-process numpy replay of the exact same SGD trajectory."""
+    from qea_ocr_tpu.data.pipeline import batch_iterator
+
+    class _DS:
+        def __len__(self):
+            return DATASET_N
+
+        def __getitem__(self, i):
+            return make_sample(i)
+
+    collate = lambda s: (np.stack([a for a, _ in s]),  # noqa: E731
+                         np.asarray([b for _, b in s], np.float32))
+    w = np.zeros((FEATURES,), np.float32)
+    loss = None
+    for epoch in range(STEPS):
+        for x, y in batch_iterator(_DS(), GLOBAL_BATCH, collate,
+                                   seed=5, epoch=epoch, drop_last=True):
+            pred = x @ w
+            loss = float(np.mean((pred - y) ** 2))
+            g = 2.0 * x.T @ (pred - y) / len(y)
+            w = w - 0.1 * g
+    return loss, float(w.sum())
+
+
+def test_two_process_dp_step_matches_single_process():
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(_REPO, "tests", "_mh_worker.py"),
+             str(p), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=_REPO, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        for p in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+        assert "WORKER_OK" in out, out[-3000:]
+    # both processes report identical (loss, checksum)
+    results = [[ln for ln in o.splitlines() if ln.startswith("RESULT")][-1]
+               for o in outs]
+    assert results[0] == results[1], results
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
