@@ -24,6 +24,15 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _env_flag(name: str, default: bool) -> bool:
+    """Parse a 0/1 env knob; empty/unset falls back to the default instead
+    of crashing the one-JSON-line driver contract on `QEA_BENCH_FUSED=`."""
+    raw = os.environ.get(name, "").strip()
+    if not raw:
+        return default
+    return raw not in ("0", "false", "False")
+
+
 def run_tpu(n_steps: int = 20, D: int = 96, S: int = 16) -> float:
     """96-doc batches: measured sweet spot on a single v5e — per-doc step
     time improves ~2.3x over 32-doc batches (fixed overheads + small-grid
@@ -48,7 +57,7 @@ def run_tpu(n_steps: int = 20, D: int = 96, S: int = 16) -> float:
     W = 1
     N = D * S
     from qea_ocr_tpu.utils.platform import default_mxu_packed
-    prep = UNet(remat=bool(int(os.environ.get("QEA_BENCH_REMAT", "0"))),
+    prep = UNet(remat=_env_flag("QEA_BENCH_REMAT", False),
                 mxu_packed=default_mxu_packed())
     crnn = CRNN(vocab_size=cm.vocab_size)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
@@ -84,7 +93,7 @@ def run_tpu(n_steps: int = 20, D: int = 96, S: int = 16) -> float:
     lw = decaying_weights(0.7, W)
     bb_mask = jnp.ones((N,), bool)
 
-    fused = bool(int(os.environ.get("QEA_BENCH_FUSED", "1")))
+    fused = _env_flag("QEA_BENCH_FUSED", True)
 
     def one_step(prep_state, crnn_state, cer_table, ent_table):
         # two dispatches per batch, mirroring the trainer: prep_extract

@@ -235,14 +235,6 @@ def warmup_crnn(charmap, ocr):
 
 
 # ---------------------------------------------------------------------------
-def valid_entries(sample):
-    rows = np.nonzero(sample.strip_mask)[0]
-    bboxes = sample.bboxes[rows]
-    names = [sample.strip_names[j] for j in range(len(rows))]
-    labels = None
-    return rows, bboxes, names
-
-
 def patch_train(charmap, ocr, crnn, train_set, val_set):
     """The reference two-phase budget loop at batch size 1 document."""
     import torch

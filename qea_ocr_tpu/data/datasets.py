@@ -224,16 +224,23 @@ def _parse_sidecar(json_path: str, top_pad: int, left_pad: int,
             y_min = area["y_min"] + top_pad
             x_max = area["x_max"] + left_pad
             y_max = area["y_max"] + top_pad
+        # Strip filter on the RAW (pre-clamp) box dims: the reference
+        # filters before any bounds handling (`patch_dataset.py:95-102`),
+        # so an out-of-bounds oversize box must be DROPPED — clamping it
+        # into eligibility would change the strip set, strip ids, and the
+        # per-document query budget. The clamp below only normalizes
+        # coordinates for pixel-gather parity between implementations.
+        if not (len(label) <= MAX_CHAR_LEN and x_max - x_min < INPUT_SIZE[1]
+                and y_max - y_min < INPUT_SIZE[0]):
+            continue
         if doc_size is not None:
             H, W = doc_size
             x_min = max(0, min(x_min, W - 1))
             y_min = max(0, min(y_min, H - 1))
             x_max = max(x_min + 1, min(x_max, W))
             y_max = max(y_min + 1, min(y_max, H))
-        if (len(label) <= MAX_CHAR_LEN and x_max - x_min < INPUT_SIZE[1]
-                and y_max - y_min < INPUT_SIZE[0]):
-            out.append(dict(label=label, x_min=x_min, y_min=y_min,
-                            x_max=x_max, y_max=y_max, index=i))
+        out.append(dict(label=label, x_min=x_min, y_min=y_min,
+                        x_max=x_max, y_max=y_max, index=i))
     if not out:
         out.append(dict(label=EMPTY_CHAR, x_min=0, y_min=0,
                         x_max=INPUT_SIZE[1] - 1, y_max=INPUT_SIZE[0] - 1, index=0))

@@ -29,7 +29,8 @@ from types import SimpleNamespace
 import jax
 import jax.numpy as jnp
 
-from qea_ocr_tpu.ops.ctc import ctc_loss_mean, greedy_decode
+from qea_ocr_tpu.ops.ctc import (
+    ctc_loss_mean, ctc_loss_samplewise, greedy_decode)
 from qea_ocr_tpu.ops.edit_distance import cer_from_labels
 from qea_ocr_tpu.ops.entropy import mean_sequence_entropy
 from qea_ocr_tpu.ops.text_stack import get_text_stack_batch
@@ -41,6 +42,29 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
                sec_loss_scalar=1.0):
     pad_id = charmap.pad_id
     max_len = charmap.max_len
+
+    def _per_doc_loss(scores, flat_labels, flat_lengths, strip_mask, doc_out):
+        """Reference bs=1 loss weighting, batched: each DOCUMENT contributes
+        CTC-mean-over-its-own-strips + sec_loss_scalar * MSE(doc, white),
+        averaged over the batch's real docs (`train_nn_patch.py:324-328`).
+        A strip-uniform batch mean would underweight strip-rich documents
+        whenever strips-per-doc is ragged (real patch datasets); on uniform
+        worlds the two are identical. Padded tail docs (all-False
+        strip_mask) are excluded entirely."""
+        D, S = strip_mask.shape
+        N = D * S
+        per = ctc_loss_samplewise(
+            scores, flat_labels, flat_lengths, pad_id=pad_id)
+        # torch CTCLoss(reduction='mean') length normalization
+        per = per / jnp.maximum(1, flat_lengths).astype(per.dtype)
+        m = strip_mask.reshape(D, S).astype(per.dtype)
+        per_doc_ctc = (jnp.sum(per.reshape(D, S) * m, axis=1)
+                       / jnp.maximum(1.0, jnp.sum(m, axis=1)))
+        per_doc_mse = jnp.mean((doc_out - 1.0) ** 2, axis=(1, 2, 3))
+        per_doc = per_doc_ctc + sec_loss_scalar * per_doc_mse
+        doc_mask = jnp.any(strip_mask, axis=1).astype(per.dtype)
+        return (jnp.sum(per_doc * doc_mask)
+                / jnp.maximum(1.0, jnp.sum(doc_mask)))
 
     # ------------------------------------------------------------------
     @jax.jit
@@ -126,10 +150,9 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
             scores = crnn_model.apply(
                 {"params": crnn_params, "batch_stats": crnn_state.batch_stats},
                 strips, train=False)   # frozen BN stats
-            pri = ctc_loss_mean(scores, flat_labels, flat_lengths,
-                                pad_id=pad_id, sample_mask=flat_mask)
-            sec = jnp.mean((doc_out - 1.0) ** 2) * sec_loss_scalar
-            return pri + sec, (doc_out, scores, prep_updates["batch_stats"])
+            loss = _per_doc_loss(scores, flat_labels, flat_lengths,
+                                 strip_mask, doc_out)
+            return loss, (doc_out, scores, prep_updates["batch_stats"])
 
         (loss, (doc_out, scores, new_prep_bs)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(
@@ -226,18 +249,11 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
         strips = get_text_stack_batch(doc_out, bboxes, h_out, w_out)
         strips = strips.reshape(N, 1, h_out, w_out)
         scores = crnn_model.apply(crnn_state.variables, strips, train=False)
-        flat_mask = strip_mask.reshape(N)
-        loss = ctc_loss_mean(
-            scores, gt_labels.reshape(N, max_len), gt_lengths.reshape(N),
-            pad_id=pad_id, sample_mask=flat_mask)
-        # MSE over REAL docs only: tail batches arrive padded with zero
-        # images whose strip_mask is all-False (pad_docbatch); every real
-        # doc has >=1 valid strip (dataset injects a dummy ' ' strip).
-        doc_mask = jnp.any(strip_mask, axis=1)
-        per_doc_mse = jnp.mean((doc_out - 1.0) ** 2, axis=(1, 2, 3))
-        sec = (jnp.sum(jnp.where(doc_mask, per_doc_mse, 0.0))
-               / jnp.maximum(1, jnp.sum(doc_mask)))
-        loss = loss + sec * sec_loss_scalar
+        # per-doc weighting over REAL docs only: tail batches arrive padded
+        # with mask-zero docs (pad_docbatch); every real doc has >=1 valid
+        # strip (the dataset injects a dummy ' ' strip).
+        loss = _per_doc_loss(scores, gt_labels.reshape(N, max_len),
+                             gt_lengths.reshape(N), strip_mask, doc_out)
         dec, dec_len = greedy_decode(scores, pad_id=pad_id)
         return doc_out, strips, dec, dec_len, loss
 

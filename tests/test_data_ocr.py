@@ -78,6 +78,29 @@ class TestPatchDocumentsFiles:
         cm = CharMap.default()
         assert cm.decode(s.gt_labels[:1], s.gt_lengths[:1]) == [EMPTY_CHAR]
 
+    def test_size_filter_uses_raw_dims_not_clamped(self, tmp_path):
+        """An out-of-bounds OVERSIZE box must be dropped (reference filters
+        on raw dims, `patch_dataset.py:95-102`) — clamping into the document
+        first would shrink it into eligibility and change the strip set."""
+        d = tmp_path / "docs3" / "f"
+        d.mkdir(parents=True)
+        _write_png(d / "doc.png", np.ones((200, 300), np.float32) * 0.8)
+        (d / "doc.json").write_text(json.dumps([
+            {"label": "HELLO", "x_min": 10, "y_min": 10,
+             "x_max": 100, "y_max": 30},
+            # after the 106px left pad: x 506..726, raw w=220 >= 128 ->
+            # must be filtered; clamping to the 512-wide doc first would
+            # leave w=1 and let it through.
+            {"label": "OOB", "x_min": 400, "y_min": 10,
+             "x_max": 620, "y_max": 30},
+        ]))
+        ds = PatchDocuments(str(tmp_path / "docs3"), max_strips=4,
+                            doc_size=(400, 512))
+        s = ds[0]
+        assert s.strip_mask.sum() == 1
+        cm = CharMap.default()
+        assert cm.decode(s.gt_labels[:1], s.gt_lengths[:1]) == ["HELLO"]
+
 
 class TestImgDataset:
     def test_filename_label_parsing(self, tmp_path):
