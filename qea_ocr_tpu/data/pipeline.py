@@ -66,6 +66,31 @@ def collate_docs(samples: Sequence[DocSample]) -> DocBatch:
     )
 
 
+def pad_wordbatch(batch: WordBatch, B: int) -> WordBatch:
+    """Pad a tail word batch up to `B` samples so jitted fixed-shape steps
+    accept it; callers mask out the padding rows (`arange(B) < real`).
+    Padding rows are white images with zero-length labels, mirroring
+    `pad_docbatch` (the reference iterates every val sample,
+    `train_nn_area.py:327-345`)."""
+    b = batch.images.shape[0]
+    if b >= B:
+        return batch
+    pad = B - b
+
+    def _z(a, fill=0):
+        ext = np.full((pad, *a.shape[1:]), fill, a.dtype)
+        return np.concatenate([a, ext], axis=0)
+
+    return WordBatch(
+        images=_z(batch.images, fill=1.0),
+        labels=_z(batch.labels),
+        lengths=_z(batch.lengths),
+        strip_ids=_z(batch.strip_ids),
+        texts=batch.texts + [""] * pad,
+        names=batch.names + [""] * pad,
+    )
+
+
 def pad_docbatch(batch: DocBatch, D: int) -> DocBatch:
     """Pad a tail batch up to `D` documents with mask-zero padding docs.
 
@@ -94,6 +119,21 @@ def pad_docbatch(batch: DocBatch, D: int) -> DocBatch:
         strip_names=batch.strip_names + [[] for _ in range(pad)],
         doc_names=batch.doc_names + [""] * pad,
     )
+
+
+def blank_docbatch(like: DocBatch, D: int) -> DocBatch:
+    """An all-padding batch with `like`'s per-doc shapes: D mask-zero docs.
+    Used by multi-process validation when this host's slice of a global
+    window is empty but the jitted lockstep still needs its rows."""
+
+    def _z(a):
+        return np.zeros((D, *a.shape[1:]), a.dtype)
+
+    return DocBatch(
+        images=_z(like.images), bboxes=_z(like.bboxes),
+        strip_mask=_z(like.strip_mask), gt_labels=_z(like.gt_labels),
+        gt_lengths=_z(like.gt_lengths), strip_ids=_z(like.strip_ids),
+        strip_names=[[] for _ in range(D)], doc_names=[""] * D)
 
 
 def batch_iterator(

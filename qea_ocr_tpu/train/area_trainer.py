@@ -26,7 +26,7 @@ import numpy as np
 from qea_ocr_tpu import config as C
 from qea_ocr_tpu.data.datasets import ImgDataset, SyntheticWordDataset
 from qea_ocr_tpu.data.pipeline import (
-    batch_iterator, collate_words, default_num_workers)
+    batch_iterator, collate_words, default_num_workers, pad_wordbatch)
 from qea_ocr_tpu.models import CRNN, HistoryAttention, UNet
 from qea_ocr_tpu.ocr.base import get_ocr_helper
 from qea_ocr_tpu.ocr.engine import OcrQueryEngine
@@ -173,11 +173,19 @@ def make_area_steps(prep_model, crnn_model, charmap, *, sec_loss_scalar=1.0):
         return new_state, loss
 
     @jax.jit
-    def val_forward(prep_state, crnn_state, images, gt_labels, gt_lengths):
+    def val_forward(prep_state, crnn_state, images, gt_labels, gt_lengths,
+                    sample_mask):
+        """Validation fwd. `sample_mask` excludes `pad_wordbatch` padding
+        rows from the loss (tail batches — the reference iterates every val
+        sample, `train_nn_area.py:327-345`)."""
         img_out = prep_model.apply(prep_state.variables, images, train=False)
         scores = crnn_model.apply(crnn_state.variables, img_out, train=False)
-        loss = ctc_loss_mean(scores, gt_labels, gt_lengths, pad_id=pad_id)
-        loss = loss + jnp.mean((img_out - 1.0) ** 2) * sec_loss_scalar
+        loss = ctc_loss_mean(scores, gt_labels, gt_lengths, pad_id=pad_id,
+                             sample_mask=sample_mask)
+        m = sample_mask.astype(jnp.float32)
+        per_mse = jnp.mean((img_out - 1.0) ** 2, axis=(1, 2, 3))
+        loss = loss + (jnp.sum(per_mse * m) / jnp.maximum(1.0, jnp.sum(m))
+                       ) * sec_loss_scalar
         dec, dec_len = greedy_decode(scores, pad_id=pad_id)
         return img_out, dec, dec_len, loss
 
@@ -348,6 +356,7 @@ class TrainNNPrepArea:
             if cfg.inner_limit else 0
         best_val_acc, best_val_epoch = 0.0, 0
         total_crnn_updates = 0
+        total_train_bb_calls = 0
 
         for epoch in range(cfg.start_epoch, cfg.epochs):
             if cfg.lr_scheduler == "cosine":
@@ -432,6 +441,13 @@ class TrainNNPrepArea:
             if cfg.minibatch_subset:
                 self._save_side_jsons(epoch)
 
+            # Train-only snapshot BEFORE _validate(): the reference's area
+            # ledger counts only training queries in both Black-Box counters
+            # and the CRNN_loss denominator (train_nn_area.py:257-267,
+            # 306-307 — its validation get_labels calls never touch
+            # epoch_bb_calls/total_bb_calls).
+            epoch_bb_calls = self.ocr.epoch_calls
+            total_train_bb_calls += epoch_bb_calls
             val = self._validate()
             metrics_out = {
                 "CRNN_accuracy": val["crnn_acc"],
@@ -441,11 +457,11 @@ class TrainNNPrepArea:
                 "Epoch": epoch + 1,
                 "train_loss": training_loss / max(1, steps),
                 "val_loss": val["loss"],
-                "Total Black-Box Calls": self.ocr.total_calls,
-                "Black-Box Calls": self.ocr.epoch_calls,
+                "Total Black-Box Calls": total_train_bb_calls,
+                "Black-Box Calls": epoch_bb_calls,
                 "Total CRNN Updates": total_crnn_updates,
                 "CRNN Updates": epoch_crnn_updates,
-                "CRNN_loss": crnn_loss_acc / max(1, self.ocr.epoch_calls),
+                "CRNN_loss": crnn_loss_acc / max(1, epoch_bb_calls),
                 "CRNN_OCR_Matching_ACC": val["match_acc"],
                 "CRNN_OCR_Matching_CER": val["match_cer"],
             }
@@ -533,26 +549,40 @@ class TrainNNPrepArea:
         count, batches = 0, 0
         for batch in batch_iterator(
                 self.val_ds, B, partial(collate_words, charmap=self.charmap),
-                shuffle=False, drop_last=True,
+                shuffle=False, drop_last=False,
                 num_workers=default_num_workers(), prefetch=2):
+            # score EVERY val sample (reference train_nn_area.py:327-345):
+            # the tail batch is padded to the compiled shape and masked out.
+            real = batch.images.shape[0]
+            batch = pad_wordbatch(batch, B)
+            mask = np.arange(B) < real
             img_out, dec, dec_len, loss = self.steps.val_forward(
                 self._eval_prep_state(), self.crnn_state,
                 jnp.asarray(batch.images),
-                jnp.asarray(batch.labels), jnp.asarray(batch.lengths))
-            res = self.ocr.query(np.asarray(img_out))
-            ocr_labels = jnp.asarray(res.labels)
-            ocr_lengths = jnp.asarray(res.lengths)
+                jnp.asarray(batch.labels), jnp.asarray(batch.lengths),
+                jnp.asarray(mask))
+            # OCR only the real rows (keeps the val query count exact)
+            res = self.ocr.query(np.asarray(img_out)[:real])
+            ocr_labels = np.zeros((B, res.labels.shape[1]), res.labels.dtype)
+            ocr_labels[:real] = res.labels
+            ocr_lengths = np.zeros((B,), res.lengths.dtype)
+            ocr_lengths[:real] = res.lengths
+            ocr_labels = jnp.asarray(ocr_labels)
+            ocr_lengths = jnp.asarray(ocr_lengths)
             gt = jnp.asarray(batch.labels)
             gt_len = jnp.asarray(batch.lengths)
+            mask_dev = jnp.asarray(mask)
             dec_c, dec_l = dec[:, :L], jnp.minimum(dec_len, L)
-            crt, cer, _ = self._compare(dec_c, dec_l, gt, gt_len, None)
-            t_crt, t_cer, _ = self._compare(ocr_labels, ocr_lengths, gt, gt_len, None)
-            m_crt, m_cer, _ = self._compare(dec_c, dec_l, ocr_labels, ocr_lengths, None)
+            crt, cer, _ = self._compare(dec_c, dec_l, gt, gt_len, mask_dev)
+            t_crt, t_cer, _ = self._compare(
+                ocr_labels, ocr_lengths, gt, gt_len, mask_dev)
+            m_crt, m_cer, _ = self._compare(
+                dec_c, dec_l, ocr_labels, ocr_lengths, mask_dev)
             agg["crnn_crt"] += float(crt); agg["crnn_cer"] += float(cer)
             agg["ocr_crt"] += float(t_crt); agg["ocr_cer"] += float(t_cer)
             agg["match_crt"] += float(m_crt); agg["match_cer"] += float(m_cer)
             agg["loss"] += float(loss)
-            count += B
+            count += real
             batches += 1
         n = max(1, count)
         return dict(

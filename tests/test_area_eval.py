@@ -50,6 +50,41 @@ class TestAreaTrainer:
         # epoch index 1 of 2: cos(pi/2)/... -> 0.5 * base
         assert lr == pytest.approx(0.5 * trainer.cfg.lr_crnn, rel=1e-3)
 
+    def test_val_tail_scored_and_train_only_ledger(self, tmp_path):
+        """Every val sample is scored for val_size % batch_size != 0 (the
+        tail batch is padded+masked, not dropped), and the logged Black-Box
+        counters stay train-only like the reference area ledger
+        (train_nn_area.py:257-267,306-307)."""
+        cfg = AreaTrainerConfig(
+            batch_size=8, epochs=1, ocr="Fake", dataset="synthetic",
+            synthetic_train_size=16, synthetic_val_size=10,
+            corruption=dict(noise_std=0.08, shading=0.1, salt_pepper=0.0),
+            minibatch_subset="topKCER", minibatch_subset_prop=0.5,
+            inner_limit=1, inner_limit_skip=True, window_size=1,
+            lstm_hidden=32, unet_features=8, exp_base_path=str(tmp_path))
+        trainer = TrainNNPrepArea(cfg)
+        trainer.train()
+        # train: 2 batches x ceil(8*0.5)=4 tracking queries = 8;
+        # val: all 10 crops queried (8 + padded tail of 2)
+        assert trainer.ocr.total_calls == 8 + 10
+        with open(os.path.join(str(tmp_path), "metrics.jsonl")) as f:
+            rec = json.loads(f.readline())
+        assert rec["Black-Box Calls"] == 8
+        assert rec["Total Black-Box Calls"] == 8
+        assert np.isfinite(rec["val_loss"])
+        # val_size < batch_size: a single padded batch still scores all
+        cfg2 = AreaTrainerConfig(
+            batch_size=8, epochs=1, ocr="Fake", dataset="synthetic",
+            synthetic_train_size=8, synthetic_val_size=3,
+            corruption=dict(noise_std=0.08, shading=0.1, salt_pepper=0.0),
+            inner_limit=1, inner_limit_skip=True, window_size=1,
+            lstm_hidden=32, unet_features=8,
+            exp_base_path=str(tmp_path / "small"))
+        trainer2 = TrainNNPrepArea(cfg2)
+        trainer2.train()
+        # no selection -> every train crop queried once (8) + 3 val
+        assert trainer2.ocr.total_calls == 8 + 3
+
     def test_prep_ema_checkpoints_ema_params(self, tmp_path):
         """With prep_ema on, validation/checkpoints use the EMA params:
         they track but lag the raw training params, and the saved best
