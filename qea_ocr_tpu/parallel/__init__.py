@@ -8,7 +8,11 @@ from qea_ocr_tpu.parallel.mesh import (  # noqa: F401
 )
 from qea_ocr_tpu.parallel.multihost import (  # noqa: F401
     global_from_local,
+    global_from_local_dim,
     local_batch_size,
+    local_rows,
+    pinned_subset,
+    process_sum,
     put_batch_global,
     shard_indices_for_host,
 )

@@ -94,3 +94,52 @@ def put_batch_global(tree: Any, mesh, axis: str = DATA_AXIS) -> Any:
         return put_batch(tree, mesh, axis)
     return jax.tree_util.tree_map(
         lambda x: global_from_local(x, mesh, axis), tree)
+
+
+def global_from_local_dim(local: Any, mesh, dim: int,
+                          axis: str = DATA_AXIS):
+    """`global_from_local` with the sharded (data) dimension at `dim`
+    instead of 0 — e.g. jitter stacks shaped (n_jitter, N, ...) are global
+    on dimension 1."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    local = np.asarray(local)
+    spec = [None] * local.ndim
+    spec[dim] = axis
+    sharding = NamedSharding(mesh, P(*spec))
+    return jax.make_array_from_process_local_data(sharding, local)
+
+
+def local_rows(global_array) -> np.ndarray:
+    """This process's contiguous rows of a `P(data)`-sharded global array,
+    fetched to host. Under the row-placement contract (module docstring),
+    process p gets global rows [p*Dl, (p+1)*Dl) in order. Single-process,
+    this is the whole array."""
+    shards = sorted(global_array.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def pinned_subset(indices: np.ndarray, process_index: int,
+                  process_count: int) -> np.ndarray:
+    """Static per-host partition of a dataset index list (round-robin),
+    trimmed so every host owns the same count (jitted steps run in
+    lockstep). Pinning documents to hosts keeps host-side state — label
+    history, selection bookkeeping, OCR fan-out — consistent across epochs
+    without any cross-host exchange: a host only ever queries/tracks its
+    own documents."""
+    indices = np.asarray(indices)
+    n = len(indices) // process_count
+    return indices[process_index::process_count][:n]
+
+
+def process_sum(values):
+    """Element-wise sum of a small host array across processes (e.g. the
+    per-epoch black-box call ledger). Identity under one process."""
+    import jax
+    arr = np.asarray(values, np.float32)
+    if jax.process_count() == 1:
+        return arr
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(arr)
+    return np.sum(np.asarray(gathered), axis=0)

@@ -38,8 +38,8 @@ import numpy as np
 from qea_ocr_tpu import config as C
 from qea_ocr_tpu.data.datasets import PatchDocuments
 from qea_ocr_tpu.data.pipeline import (
-    DocBatch, batch_iterator, collate_docs, default_num_workers,
-    pad_docbatch)
+    DocBatch, batch_iterator, blank_docbatch, collate_docs,
+    default_num_workers, pad_docbatch)
 from qea_ocr_tpu.models import CRNN, HistoryAttention, UNet
 from qea_ocr_tpu.ocr.base import get_ocr_helper
 from qea_ocr_tpu.ocr.engine import OcrQueryEngine
@@ -283,8 +283,8 @@ class TrainNNPrep:
             n_data = n_dev // tp
             if cfg.batch_docs % n_data:
                 raise ValueError(
-                    f"batch_docs={cfg.batch_docs} must divide the data-axis "
-                    f"size {n_data} (= {n_dev} devices / tp {tp})")
+                    f"batch_docs={cfg.batch_docs} must be a multiple of the "
+                    f"data-axis size {n_data} (= {n_dev} devices / tp {tp})")
             self.mesh = make_mesh_2d(n_data, tp)
             self.prep_state = put_tp(self.prep_state, self.mesh)
             self.crnn_state = put_tp(self.crnn_state, self.mesh)
@@ -296,15 +296,43 @@ class TrainNNPrep:
             n_dev = len(self.mesh.devices.flat)
             if cfg.batch_docs % n_dev:
                 raise ValueError(
-                    f"batch_docs={cfg.batch_docs} must divide device count "
-                    f"{n_dev} for data_parallel mode")
+                    f"batch_docs={cfg.batch_docs} must be a multiple of the "
+                    f"device count {n_dev} for data_parallel mode")
             self.prep_state = put_replicated(self.prep_state, self.mesh)
             self.crnn_state = put_replicated(self.crnn_state, self.mesh)
             self.cer_table = put_replicated(self.cer_table, self.mesh)
             self.ent_table = put_replicated(self.ent_table, self.mesh)
 
+        # ------------------------------------------- multi-host topology
+        # Under multiple JAX processes (TPU pods), `batch_docs` is the
+        # GLOBAL batch: each host loads/owns only its Dl = batch_docs/pc
+        # rows (pinned document subset, `parallel/multihost.py`), runs the
+        # black-box OCR for its own strips, and the device boundary
+        # assembles global arrays (`put_batch_global`). Single-process,
+        # everything below is the identity.
+        self._pc = jax.process_count() if self.mesh is not None else 1
+        self._pi = jax.process_index() if self.mesh is not None else 0
+        if self._pc > 1:
+            if cfg.tensor_parallel:
+                raise NotImplementedError(
+                    "multi-process runs support data parallelism only "
+                    "(tensor_parallel shards within one host's chips)")
+            if cfg.batch_docs % self._pc:
+                raise ValueError(
+                    f"batch_docs={cfg.batch_docs} must be a multiple of the "
+                    f"process count {self._pc}")
+        self._dl = cfg.batch_docs // self._pc  # local docs per step
+        from qea_ocr_tpu.parallel import pinned_subset
+        self._local_train_indices = pinned_subset(
+            self.train_indices, self._pi, self._pc)
+        if self._pc > 1:
+            # lockstep trim: every host owns the same count; the ledger
+            # denominators use the effective global size
+            self.train_set_size = len(self._local_train_indices) * self._pc
+
         self.logger = MetricsLogger(
-            cfg.exp_base_path, use_wandb=cfg.use_wandb)
+            cfg.exp_base_path,
+            use_wandb=cfg.use_wandb and self._pi == 0)
         self.timer = StepTimer()
         self._compare = jax.jit(compare_labels_device)
         self.ema_params = None      # seeded in _train_impl (post-pretrain)
@@ -321,6 +349,28 @@ class TrainNNPrep:
         if self.ema_params is None:
             return self.prep_state
         return self.prep_state.replace(params=self.ema_params)
+
+    # ------------------------------------------------------------------
+    def _dev(self, x, dim: int = 0):
+        """Device placement for batch-dimension arrays: plain `jnp.asarray`
+        under one process (jit shards on the mesh), global-array assembly
+        from this process's local rows under many (`dim` = the sharded
+        dimension, e.g. 1 for (n_jitter, N, ...) stacks)."""
+        if self._pc == 1:
+            return jnp.asarray(x)
+        from qea_ocr_tpu.parallel import (
+            global_from_local, global_from_local_dim)
+        if dim == 0:
+            return global_from_local(x, self.mesh)
+        return global_from_local_dim(x, self.mesh, dim)
+
+    def _fetch_rows(self, global_array) -> np.ndarray:
+        """Host copy of this process's rows of a batch-sharded device
+        array (the whole array under one process)."""
+        if self._pc == 1:
+            return np.asarray(global_array)
+        from qea_ocr_tpu.parallel import local_rows
+        return local_rows(global_array)
 
     # ------------------------------------------------------------------
     def _training_indices(self) -> np.ndarray:
@@ -397,9 +447,9 @@ class TrainNNPrep:
         for epoch in range(cfg.prep_pretrain_epochs):
             total, n = 0.0, 0
             for batch in batch_iterator(
-                    self.dataset, cfg.batch_docs, collate_docs,
+                    self.dataset, self._dl, collate_docs,
                     seed=cfg.random_seed + 7000, epoch=epoch,
-                    indices=self.train_indices):
+                    indices=self._local_train_indices):
                 images = jnp.asarray(batch.images)
                 if self.mesh is not None:
                     from qea_ocr_tpu.parallel import put_batch_global
@@ -422,7 +472,6 @@ class TrainNNPrep:
             self.ema_params = jax.tree_util.tree_map(
                 jnp.array, self.prep_state.params)
         D, S = cfg.batch_docs, cfg.max_strips
-        N = D * S
         L = self.charmap.max_len
         W = cfg.window_size
         n_jitter = max(0, cfg.inner_limit - (1 if cfg.inner_limit_skip else 0)) \
@@ -438,8 +487,11 @@ class TrainNNPrep:
         for epoch in range(cfg.start_epoch, cfg.epochs):
             if is_global(cfg.minibatch_subset):
                 self._global_select(epoch)
-            indices = self.train_indices
+            indices = self._local_train_indices
             if cfg.image_prop:
+                # per-host subsample of the pinned subset: the global
+                # effective proportion matches, and lockstep holds because
+                # every host's subset has the same size
                 k = int(cfg.image_prop * len(indices))
                 indices = self._np_rng.permutation(indices)[:k]
             self.ocr.reset_epoch()
@@ -452,19 +504,20 @@ class TrainNNPrep:
 
             pending = None
             for batch in batch_iterator(
-                    self.dataset, D, collate_docs, seed=cfg.random_seed,
+                    self.dataset, self._dl, collate_docs,
+                    seed=cfg.random_seed,
                     epoch=epoch, indices=indices,
                     num_workers=default_num_workers(), prefetch=2):
-                work = self._prepare_work(batch, epoch, n_jitter, N,
+                work = self._prepare_work(batch, epoch, n_jitter,
                                           epoch_print)
                 epoch_print = False
                 if not cfg.async_ocr:
-                    out = self._process_work(work, n_jitter, N, L, W)
+                    out = self._process_work(work, n_jitter, L, W)
                 else:
                     # 1-deep pipeline: device processes batch k while the
                     # host OCRs batch k+1 (submitted in _prepare_work).
                     out, pending = (
-                        self._process_work(pending, n_jitter, N, L, W)
+                        self._process_work(pending, n_jitter, L, W)
                         if pending is not None else None, work)
                 if out is None:
                     continue
@@ -476,7 +529,7 @@ class TrainNNPrep:
                 steps += 1
                 last_doc_out, last_batch = stats["doc_out"], stats["batch"]
             if pending is not None:
-                stats = self._process_work(pending, n_jitter, N, L, W)
+                stats = self._process_work(pending, n_jitter, L, W)
                 training_loss += stats["loss"]
                 crnn_loss_acc += stats["crnn_loss"]
                 total_crnn_updates += stats["crnn_updates"]
@@ -490,6 +543,13 @@ class TrainNNPrep:
             epoch_bb_calls = self.ocr.epoch_calls  # train-only snapshot:
             # _validate() also queries the engine, and the reference keeps
             # "Black-Box Calls" train-only (`train_nn_patch.py:298-299,411`)
+            if self._pc > 1:
+                # global ledger: sum the per-host engine counters (each
+                # host queried only its own pinned documents; the device
+                # losses are already global — computed over the assembled
+                # batch and replicated)
+                from qea_ocr_tpu.parallel import process_sum
+                epoch_bb_calls = int(process_sum([epoch_bb_calls])[0])
             print(f"Epoch BB calls - {epoch_bb_calls}")
             val = self._validate()
             total_train_bb_calls += epoch_bb_calls
@@ -519,12 +579,16 @@ class TrainNNPrep:
                 "CRNN_OCR_Matching_CER": val["match_cer"],
             }
             metrics_out.update(self.timer.summary())
-            self.logger.log(metrics_out)
+            if self._pi == 0:
+                # process 0 owns every artifact write (metrics stream,
+                # sample images, checkpoints): states/metrics are
+                # replicated, so one copy is the truth
+                self.logger.log(metrics_out)
 
             # sample cleaned image (+ original once)
-            if last_doc_out is not None:
+            if last_doc_out is not None and self._pi == 0:
                 save_image_png(
-                    np.asarray(last_doc_out[0]),
+                    self._fetch_rows(last_doc_out)[0],
                     os.path.join(self.dirs.img_out, f"out_{epoch}.png"))
                 if epoch == 0:
                     save_image_png(
@@ -532,6 +596,12 @@ class TrainNNPrep:
                         os.path.join(self.dirs.img_out, "out_original.png"))
 
             ocr_acc = val["ocr_acc"]
+            # orbax saves are COLLECTIVE under jax.distributed (every
+            # process must enter the internal barrier; the primary host
+            # writes once) — gating them on _pi==0 deadlocks process 0
+            # against the coordination service's shutdown barrier. ocr_acc
+            # comes from global reductions, so path names and the
+            # best-checkpoint condition agree on every process.
             prep_path = os.path.join(
                 self.dirs.ckpts, f"Prep_model_{epoch}_{ocr_acc * 100:.2f}")
             save_checkpoint(prep_path, self._eval_prep_state())
@@ -543,17 +613,18 @@ class TrainNNPrep:
                 save_checkpoint(
                     os.path.join(self.dirs.ckpts, "Prep_model_best"),
                     self._eval_prep_state())
-                self.logger.update_summary({
-                    "best_val_acc": best_val_acc,
-                    "best_val_epoch": best_val_epoch,
-                })
+                if self._pi == 0:
+                    self.logger.update_summary({
+                        "best_val_acc": best_val_acc,
+                        "best_val_epoch": best_val_epoch,
+                    })
             self._maybe_optuna(ocr_acc * 100, epoch)
         print("Training Completed.")
         return best_val_acc, best_val_epoch
 
     # ------------------------------------------------------------------
     def _prepare_work(self, batch: DocBatch, epoch: int, n_jitter: int,
-                      N: int, epoch_print: bool) -> dict:
+                      epoch_print: bool) -> dict:
         """Extract strips with the CURRENT prep, select the query budget, and
         issue the black-box OCR (sync query or async submit depending on
         `async_ocr`). Host-side noise is drawn here so the OCR and phase A
@@ -567,14 +638,19 @@ class TrainNNPrep:
             bboxes = put_batch_global(bboxes, self.mesh)
         with self.timer.time("prep_extract"):
             _, strips = self.steps.prep_extract(self.prep_state, images, bboxes)
-        bb_mask = self._select(batch, epoch)              # (D, S) bool
-        flat_bb = bb_mask.reshape(N)
+        # Everything below is host-LOCAL: `batch` holds this process's Dl
+        # docs (= the full batch single-process); selection, history ids and
+        # the OCR fan-out stay per-host, and `_process_work` assembles the
+        # local rows into global device arrays.
+        bb_mask = self._select(batch, epoch)              # (Dl, S) bool
+        nl = bb_mask.size                                 # local strip rows
+        flat_bb = bb_mask.reshape(nl)
         sel_rows = np.nonzero(flat_bb)[0]
-        sel_ids = batch.strip_ids.reshape(N)[sel_rows]
+        sel_ids = batch.strip_ids.reshape(nl)[sel_rows]
         if epoch_print:
             print(f"Total Samples - {int(batch.strip_mask.sum())}")
             print(f"OCR Samples - {len(sel_rows)}")
-        for d in range(cfg.batch_docs):
+        for d in range(len(batch.doc_names)):
             for j in np.nonzero(bb_mask[d])[0]:
                 if j < len(batch.strip_names[d]):
                     self.selected_samples.setdefault(
@@ -586,8 +662,12 @@ class TrainNNPrep:
                     clean=None, jitter=[])
         if cfg.inner_limit and len(sel_rows):
             # gather on device, fetch only the selected strips (host<->device
-            # bandwidth is the bottleneck on tunneled TPUs)
-            sel_strips = np.asarray(strips[jnp.asarray(sel_rows)])
+            # bandwidth is the bottleneck on tunneled TPUs); multi-process,
+            # fetch this host's rows and index locally
+            if self._pc == 1:
+                sel_strips = np.asarray(strips[jnp.asarray(sel_rows)])
+            else:
+                sel_strips = self._fetch_rows(strips)[sel_rows]
             issue = self.ocr.submit if cfg.async_ocr else self.ocr.query
             if cfg.inner_limit_skip:
                 with self.timer.time("ocr_issue"):
@@ -603,7 +683,7 @@ class TrainNNPrep:
         return (res_or_future.result()
                 if hasattr(res_or_future, "result") else res_or_future)
 
-    def _process_work(self, work: dict, n_jitter: int, N: int, L: int,
+    def _process_work(self, work: dict, n_jitter: int, L: int,
                       W: int) -> dict:
         """Phase A (consuming OCR results) + phase B for one prepared batch."""
         cfg = self.cfg
@@ -616,9 +696,10 @@ class TrainNNPrep:
 
         if cfg.inner_limit:
             strip_hw = strips.shape[2:]
-            hist_labels = np.full((N, W, L), self.charmap.pad_id, np.int32)
-            hist_lengths = np.zeros((N, W), np.int32)
-            hist_valid = np.zeros((N, W), bool)
+            nl = len(batch.doc_names) * cfg.max_strips  # local strip rows
+            hist_labels = np.full((nl, W, L), self.charmap.pad_id, np.int32)
+            hist_lengths = np.zeros((nl, W), np.int32)
+            hist_valid = np.zeros((nl, W), bool)
             if cfg.inner_limit_skip and work["clean"] is not None:
                 with self.timer.time("ocr_wait"):
                     res = self._resolve(work["clean"])
@@ -626,9 +707,9 @@ class TrainNNPrep:
                 if cfg.weightgen_method == "decaying":
                     loss_weights = lw
                 else:
-                    full = np.zeros((N, W + 1), np.float32)
+                    full = np.zeros((nl, W + 1), np.float32)
                     full[sel_rows] = np.asarray(lw)
-                    loss_weights = jnp.asarray(full)
+                    loss_weights = self._dev(full)
                 self.history.add(sel_ids, res.labels, res.lengths, res.texts)
                 labs, lens, valid = self.history.gather(sel_ids)
                 hist_labels[sel_rows] = labs
@@ -637,10 +718,10 @@ class TrainNNPrep:
             else:
                 loss_weights = decaying_weights(cfg.decay_factor, W)
 
-            jitter_images = np.ones((n_jitter, N, 1, *strip_hw), np.float32)
-            jitter_labels = np.full((n_jitter, N, L), self.charmap.pad_id,
+            jitter_images = np.ones((n_jitter, nl, 1, *strip_hw), np.float32)
+            jitter_labels = np.full((n_jitter, nl, L), self.charmap.pad_id,
                                     np.int32)
-            jitter_lengths = np.zeros((n_jitter, N), np.int32)
+            jitter_lengths = np.zeros((n_jitter, nl), np.int32)
             for i, (noisy, pending) in enumerate(work["jitter"]):
                 with self.timer.time("ocr_wait"):
                     res = self._resolve(pending)
@@ -655,16 +736,17 @@ class TrainNNPrep:
                 (self.prep_state, self.crnn_state, doc_out, metrics,
                  self.cer_table, self.ent_table, loss) = self.steps.phase_ab(
                     self.prep_state, self.crnn_state, work["images"],
-                    work["bboxes"], jnp.asarray(batch.strip_mask),
-                    jnp.asarray(batch.gt_labels),
+                    work["bboxes"], self._dev(batch.strip_mask),
+                    self._dev(batch.gt_labels),
                     self.cer_table, self.ent_table,
-                    jnp.asarray(batch.gt_lengths),
-                    jnp.asarray(batch.strip_ids),
-                    strips, jnp.asarray(work["flat_bb"]),
-                    jnp.asarray(hist_labels), jnp.asarray(hist_lengths),
-                    jnp.asarray(hist_valid), loss_weights,
-                    jnp.asarray(jitter_images), jnp.asarray(jitter_labels),
-                    jnp.asarray(jitter_lengths),
+                    self._dev(batch.gt_lengths),
+                    self._dev(batch.strip_ids),
+                    strips, self._dev(work["flat_bb"]),
+                    self._dev(hist_labels), self._dev(hist_lengths),
+                    self._dev(hist_valid), loss_weights,
+                    self._dev(jitter_images, dim=1),
+                    self._dev(jitter_labels, dim=1),
+                    self._dev(jitter_lengths, dim=1),
                     decaying=(cfg.weightgen_method == "decaying"),
                     inner_limit_skip=cfg.inner_limit_skip,
                     update_crnn=cfg.update_CRNN)
@@ -675,11 +757,11 @@ class TrainNNPrep:
                 (self.prep_state, self.crnn_state, doc_out, metrics,
                  self.cer_table, self.ent_table) = self.steps.phase_b(
                     self.prep_state, self.crnn_state, work["images"],
-                    work["bboxes"], jnp.asarray(batch.strip_mask),
-                    jnp.asarray(batch.gt_labels),
+                    work["bboxes"], self._dev(batch.strip_mask),
+                    self._dev(batch.gt_labels),
                     self.cer_table, self.ent_table,
-                    jnp.asarray(batch.gt_lengths),
-                    jnp.asarray(batch.strip_ids),
+                    self._dev(batch.gt_lengths),
+                    self._dev(batch.strip_ids),
                     update_crnn=cfg.update_CRNN)
 
         if self.ema_params is not None:
@@ -687,9 +769,11 @@ class TrainNNPrep:
                 self.ema_params, self.prep_state.params)
 
         if cfg.minibatch_subset:
-            D, S = cfg.batch_docs, cfg.max_strips
-            cers_np = np.asarray(metrics["cers"]).reshape(D, S)
-            for d in range(D):
+            # this host's rows only: all_cers bookkeeping is per-host
+            # (documents are pinned to hosts, `parallel/multihost.py`)
+            dl, S = len(batch.doc_names), cfg.max_strips
+            cers_np = self._fetch_rows(metrics["cers"]).reshape(dl, S)
+            for d in range(dl):
                 for j in np.nonzero(batch.strip_mask[d])[0]:
                     name = batch.strip_names[d][j]
                     self.all_cers.setdefault(name, []).append(
@@ -705,64 +789,57 @@ class TrainNNPrep:
         num = max(1, int(round(
             (1 - cfg.minibatch_subset_prop) * self.dataset.num_strips)))
         fn = GLOBAL_METHODS[cfg.minibatch_subset]
-        self.global_bitmap = fn(self._np_rng, cers, num)
+        # dedicated per-epoch stream (not self._np_rng, whose state depends
+        # on data-dependent noise draws): every process derives the SAME
+        # global bitmap, so the epoch-level selection is truly global
+        rng = np.random.default_rng((cfg.random_seed, 9173, epoch))
+        self.global_bitmap = fn(rng, cers, num)
 
     # ------------------------------------------------------------------
     def _validate(self):
         cfg = self.cfg
-        D, S = cfg.batch_docs, cfg.max_strips
-        L = self.charmap.max_len
+        D = cfg.batch_docs
         agg = dict(crnn_crt=0.0, crnn_cer=0.0, ocr_crt=0.0, ocr_cer=0.0,
                    match_crt=0.0, match_cer=0.0, loss=0.0)
         label_count = 0
-        batches = 0
         doc_count = 0
         bb_calls_before = self.ocr.total_calls
-        for batch in batch_iterator(
-                self.validation_set, D, collate_docs,
-                shuffle=False, drop_last=False,
-                num_workers=default_num_workers(), prefetch=2):
-            real_docs = batch.images.shape[0]
-            doc_count += real_docs
-            if batch.images.shape[0] != D:
-                # static shapes: pad the tail with mask-zero docs so every
-                # val document is scored (reference iterates them all,
-                # `train_nn_patch.py:366-398`)
-                batch = pad_docbatch(batch, D)
-            doc_out, strips, dec, dec_len, loss = self.steps.val_forward(
-                self._eval_prep_state(), self.crnn_state,
-                jnp.asarray(batch.images), jnp.asarray(batch.bboxes),
-                jnp.asarray(batch.strip_mask),
-                jnp.asarray(batch.gt_labels), jnp.asarray(batch.gt_lengths))
-            N = D * S
-            flat_mask = jnp.asarray(batch.strip_mask.reshape(N))
-            gt = jnp.asarray(batch.gt_labels.reshape(N, L))
-            gt_len = jnp.asarray(batch.gt_lengths.reshape(N))
-            # host OCR on cleaned strips (costed: train_val_bb_calls parity)
-            rows = np.nonzero(batch.strip_mask.reshape(N))[0]
-            res = self.ocr.query(np.asarray(strips[jnp.asarray(rows)]))
-            ocr_labels = np.full((N, L), self.charmap.pad_id, np.int32)
-            ocr_lengths = np.zeros((N,), np.int32)
-            ocr_labels[rows] = res.labels
-            ocr_lengths[rows] = res.lengths
-            ocr_labels = jnp.asarray(ocr_labels)
-            ocr_lengths = jnp.asarray(ocr_lengths)
-            dec_c = dec[:, :L]
-            dec_l = jnp.minimum(dec_len, L)
-            crt, cer, _ = self._compare(dec_c, dec_l, gt, gt_len, flat_mask)
-            t_crt, t_cer, _ = self._compare(
-                ocr_labels, ocr_lengths, gt, gt_len, flat_mask)
-            m_crt, m_cer, _ = self._compare(
-                dec_c, dec_l, ocr_labels, ocr_lengths, flat_mask)
-            agg["crnn_crt"] += float(crt); agg["crnn_cer"] += float(cer)
-            agg["ocr_crt"] += float(t_crt); agg["ocr_cer"] += float(t_cer)
-            agg["match_crt"] += float(m_crt); agg["match_cer"] += float(m_cer)
-            # batch loss is a mean over the batch's real docs; x real_docs
-            # recovers the per-doc sum so val_loss can use the reference's
-            # /val_set_size denominator (`train_nn_patch.py:396`)
-            agg["loss"] += float(loss) * real_docs
-            label_count += len(rows)
-            batches += 1
+        if self._pc == 1:
+            for batch in batch_iterator(
+                    self.validation_set, D, collate_docs,
+                    shuffle=False, drop_last=False,
+                    num_workers=default_num_workers(), prefetch=2):
+                if batch.images.shape[0] != D:
+                    # static shapes: pad the tail with mask-zero docs so
+                    # every val document is scored (reference iterates them
+                    # all, `train_nn_patch.py:366-398`)
+                    batch = pad_docbatch(batch, D)
+                nd, nlab = self._validate_batch(batch, agg)
+                doc_count += nd
+                label_count += nlab
+        else:
+            # multi-process: each global window of D val docs is split into
+            # per-host Dl slices (same layout as training batches); hosts
+            # whose slice is empty feed an all-padding batch so the jitted
+            # lockstep holds. Metrics come out of GLOBAL masked reductions,
+            # so every host returns identical numbers.
+            Dl = self._dl
+            template = None
+            for start in range(0, self.val_set_size, D):
+                window = np.arange(start, min(start + D, self.val_set_size))
+                local_idx = window[self._pi * Dl:(self._pi + 1) * Dl]
+                samples = [self.validation_set[int(i)] for i in local_idx]
+                if samples:
+                    batch = pad_docbatch(collate_docs(samples), Dl)
+                    template = batch
+                else:
+                    if template is None:
+                        template = pad_docbatch(
+                            collate_docs([self.validation_set[0]]), Dl)
+                    batch = blank_docbatch(template, Dl)
+                nd, nlab = self._validate_batch(batch, agg)
+                doc_count += nd
+                label_count += nlab
         n_docs = max(1, doc_count)
         lc = max(1, label_count)
         print(f"Validation Dataset Calls - {label_count}")
@@ -774,23 +851,82 @@ class TrainNNPrep:
             ocr_cer=agg["ocr_cer"] / n_docs,
             match_cer=agg["match_cer"] / n_docs,
             loss=agg["loss"] / n_docs,
-            bb_calls=self.ocr.total_calls - bb_calls_before,
+            bb_calls=(self.ocr.total_calls - bb_calls_before
+                      if self._pc == 1 else label_count),
         )
+
+    def _validate_batch(self, batch: DocBatch, agg: dict):
+        """Score one (local) validation batch into `agg`; returns the
+        GLOBAL (real_docs, valid_strips) counts of the assembled batch."""
+        cfg = self.cfg
+        S = cfg.max_strips
+        L = self.charmap.max_len
+        nl = batch.strip_mask.size          # local strip rows
+        dev_mask = self._dev(batch.strip_mask)
+        doc_out, strips, dec, dec_len, loss = self.steps.val_forward(
+            self._eval_prep_state(), self.crnn_state,
+            self._dev(batch.images), self._dev(batch.bboxes),
+            dev_mask, self._dev(batch.gt_labels),
+            self._dev(batch.gt_lengths))
+        flat_mask = self._dev(batch.strip_mask.reshape(nl))
+        gt = self._dev(batch.gt_labels.reshape(nl, L))
+        gt_len = self._dev(batch.gt_lengths.reshape(nl))
+        # host OCR on this host's cleaned strips (costed:
+        # train_val_bb_calls parity)
+        rows = np.nonzero(batch.strip_mask.reshape(nl))[0]
+        ocr_labels = np.full((nl, L), self.charmap.pad_id, np.int32)
+        ocr_lengths = np.zeros((nl,), np.int32)
+        if len(rows):
+            if self._pc == 1:
+                sel = np.asarray(strips[jnp.asarray(rows)])
+            else:
+                sel = self._fetch_rows(strips)[rows]
+            res = self.ocr.query(sel)
+            ocr_labels[rows] = res.labels
+            ocr_lengths[rows] = res.lengths
+        ocr_labels = self._dev(ocr_labels)
+        ocr_lengths = self._dev(ocr_lengths)
+        dec_c = dec[:, :L]
+        dec_l = jnp.minimum(dec_len, L)
+        crt, cer, _ = self._compare(dec_c, dec_l, gt, gt_len, flat_mask)
+        t_crt, t_cer, _ = self._compare(
+            ocr_labels, ocr_lengths, gt, gt_len, flat_mask)
+        m_crt, m_cer, _ = self._compare(
+            dec_c, dec_l, ocr_labels, ocr_lengths, flat_mask)
+        # GLOBAL counts from the assembled mask (padded docs have no valid
+        # strips; every real doc has >=1 — the dataset injects a dummy ' ')
+        real_docs = int(jnp.sum(jnp.any(dev_mask, axis=1)))
+        valid_strips = int(jnp.sum(flat_mask))
+        agg["crnn_crt"] += float(crt); agg["crnn_cer"] += float(cer)
+        agg["ocr_crt"] += float(t_crt); agg["ocr_cer"] += float(t_cer)
+        agg["match_crt"] += float(m_crt); agg["match_cer"] += float(m_cer)
+        # batch loss is a mean over the batch's real docs; x real_docs
+        # recovers the per-doc sum so val_loss can use the reference's
+        # /val_set_size denominator (`train_nn_patch.py:396`)
+        agg["loss"] += float(loss) * real_docs
+        return real_docs, valid_strips
 
     # ------------------------------------------------------------------
     def _save_side_jsons(self, epoch: int):
+        # History/selection/CER side-state is host-LOCAL (documents are
+        # pinned to hosts): under multiple processes each host writes its
+        # own shard, suffixed .pN, and resume loads the matching shard.
+        sfx = f".p{self._pi}" if self._pc > 1 else ""
+
+        def _p(dirname, name):
+            base, ext = os.path.splitext(name)
+            return os.path.join(dirname, base + sfx + ext)
+
         self.history.save_json(
-            os.path.join(self.dirs.tracked_labels,
-                         f"tracked_labels_{epoch}.json"),
+            _p(self.dirs.tracked_labels, f"tracked_labels_{epoch}.json"),
             self.dataset.id_to_name)
         self.history.save_json(
-            os.path.join(self.dirs.tracked_labels, "tracked_labels_current.json"),
+            _p(self.dirs.tracked_labels, "tracked_labels_current.json"),
             self.dataset.id_to_name)
         save_json(self.selected_samples,
-                  os.path.join(self.dirs.selected_samples,
-                               "selected_samples_current.json"))
-        save_json(self.all_cers,
-                  os.path.join(self.dirs.cers, "all_cers.json"))
+                  _p(self.dirs.selected_samples,
+                     "selected_samples_current.json"))
+        save_json(self.all_cers, _p(self.dirs.cers, "all_cers.json"))
 
     def _maybe_optuna(self, accuracy, epoch):
         trial = self.cfg.optuna_trial

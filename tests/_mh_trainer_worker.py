@@ -1,0 +1,89 @@
+"""Subprocess worker for tests/test_multihost_procs.py::test_two_process_trainer.
+
+Runs one process of a 2-process CPU cluster (4 virtual devices each)
+through the REAL `TrainNNPrep(data_parallel=True)` trainer on the synthetic
+world + FakeOCR: pinned per-host document subsets, per-host OCR fan-out,
+global-array assembly, global masked validation (including an
+empty-local-slice window on process 1), and the cross-process black-box
+ledger sum.
+
+Usage: python _mh_trainer_worker.py <process_id> <num_processes> <port> <out_dir>
+"""
+
+import faulthandler
+import json
+import os
+import sys
+
+faulthandler.dump_traceback_later(1500, exit=True)
+
+pid, n_proc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+out_dir = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=n_proc, process_id=pid)
+
+import numpy as np  # noqa: E402
+
+from qea_ocr_tpu.train.patch_trainer import (  # noqa: E402
+    PatchTrainerConfig, TrainNNPrep)
+
+TRAIN_DOCS = 8
+VAL_DOCS = 3        # < Dl on host 1's slice of the only window -> exercises
+                    # the blank_docbatch (empty local slice) path
+STRIPS = 3
+PROP = 0.5
+INNER = 2           # 1 tracking round + 1 jitter round
+
+
+def main():
+    assert jax.device_count() == 4 * n_proc
+    assert jax.local_device_count() == 4
+    cfg = PatchTrainerConfig(
+        epochs=1, ocr="Fake", dataset="synthetic",
+        synthetic_train_docs=TRAIN_DOCS, synthetic_val_docs=VAL_DOCS,
+        synthetic_strips_per_doc=STRIPS, max_strips=4,
+        batch_docs=TRAIN_DOCS,          # GLOBAL batch: Dl = 4 per host
+        doc_size=(96, 128),
+        corruption=dict(noise_std=0.08, shading=0.1, salt_pepper=0.0),
+        minibatch_subset="rangeCER", minibatch_subset_prop=PROP,
+        inner_limit=INNER, inner_limit_skip=True, window_size=2,
+        weightgen_method="decaying", lstm_hidden=16, unet_features=4,
+        data_parallel=True, exp_base_path=out_dir)
+    trainer = TrainNNPrep(cfg)
+    assert trainer._pc == n_proc and trainer._pi == pid
+    assert trainer._dl == TRAIN_DOCS // n_proc
+    best_acc, best_epoch = trainer.train()
+
+    # per-host ledger: each host queried ONLY its pinned docs.
+    # train: INNER rounds x ceil(3*(1-0.5))=2 strips x 4 local docs = 16;
+    # val: host 0 OCRs the 3 val docs (9 strips), host 1's slice is empty.
+    import math
+    per_doc = math.ceil(STRIPS * (1 - PROP))
+    local_train = INNER * per_doc * (TRAIN_DOCS // n_proc)
+    local_val = VAL_DOCS * STRIPS if pid == 0 else 0
+    assert trainer.ocr.total_calls == local_train + local_val, (
+        pid, trainer.ocr.total_calls, local_train, local_val)
+
+    if pid == 0:
+        with open(os.path.join(out_dir, "metrics.jsonl")) as f:
+            rec = json.loads(f.readline())
+        # GLOBAL ledger in the logged metrics (process_sum of host counters)
+        assert rec["Black-Box Calls"] == INNER * per_doc * TRAIN_DOCS, rec
+        assert rec["Train + Val BB Calls"] == (
+            INNER * per_doc * TRAIN_DOCS + VAL_DOCS * STRIPS), rec
+        assert np.isfinite(rec["train_loss"]) and np.isfinite(rec["val_loss"])
+
+    # metrics are global masked reductions -> identical on every process
+    print(f"RESULT {best_acc:.10f} {best_epoch}", flush=True)
+    print("TRAINER_OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

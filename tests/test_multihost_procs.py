@@ -87,6 +87,35 @@ def test_two_process_dp_step_matches_single_process():
     assert results[0] == results[1], results
 
 
+def test_two_process_trainer_epoch(tmp_path):
+    """The REAL patch trainer under 2 JAX processes: pinned per-host
+    document subsets, per-host OCR fan-out, global-array assembly, masked
+    global validation (incl. an empty local window slice on process 1), and
+    the summed black-box ledger — asserted inside tests/_mh_trainer_worker.py."""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable,
+             os.path.join(_REPO, "tests", "_mh_trainer_worker.py"),
+             str(p), "2", str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=_REPO, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        for p in range(2)
+    ]
+    outs = []
+    for p in procs:
+        # cold persistent-cache first run compiles the fused phase program
+        # twice concurrently (~8 min on a 1-core box); warm runs are ~1 min
+        out, _ = p.communicate(timeout=1200)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"trainer worker failed:\n{out[-4000:]}"
+        assert "TRAINER_OK" in out, out[-4000:]
+    results = [[ln for ln in o.splitlines() if ln.startswith("RESULT")][-1]
+               for o in outs]
+    assert results[0] == results[1], results
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
