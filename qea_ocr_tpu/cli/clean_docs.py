@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mxu_packed", action="store_true",
                    help="space-to-depth packed conv layout — measured "
                         "faster at serving batches 8-32 on TPU (ops/s2d.py)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the batch over all local chips (params "
+                        "replicated); batch_size rounds up to a device "
+                        "multiple")
     return p
 
 
@@ -54,7 +58,7 @@ def main(argv=None):
         kw["mxu_packed"] = True
     cleaner = DocumentCleaner(
         args.prep_path, unet_features=args.unet_features,
-        batch_size=args.batch_size, **kw)
+        batch_size=args.batch_size, data_parallel=args.data_parallel, **kw)
     t0 = time.perf_counter()
     result = cleaner.clean_dir(
         args.input_dir, args.output_dir, ocr=ocr,

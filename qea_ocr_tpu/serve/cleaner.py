@@ -48,7 +48,7 @@ class DocumentCleaner:
 
     def __init__(self, prep_path: str, *, unet_features: int = 32,
                  doc_size: Tuple[int, int] = C.DOC_SIZE, batch_size: int = 8,
-                 mxu_packed: bool | None = None):
+                 mxu_packed: bool | None = None, data_parallel: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -63,6 +63,19 @@ class DocumentCleaner:
             train=False)
         state = ModelState.create(variables, adam_l2(1e-4))
         self.state = load_checkpoint(prep_path, state)
+
+        # Data-parallel serving: replicate the params over all local chips
+        # and shard the batch's document axis; the SAME jitted forward runs
+        # single- or multi-chip (XLA partitions it from the shardings).
+        # batch_size rounds UP to a device multiple so every chip always
+        # has rows — tail batches are white-padded anyway.
+        self.mesh = None
+        if data_parallel:
+            from qea_ocr_tpu.parallel import make_mesh, put_replicated
+            self.mesh = make_mesh()
+            n_dev = len(self.mesh.devices.flat)
+            self.batch_size = -(-self.batch_size // n_dev) * n_dev
+            self.state = put_replicated(self.state, self.mesh)
 
         @jax.jit
         def fwd(state, images):
@@ -125,7 +138,12 @@ class DocumentCleaner:
             arr = np.concatenate(
                 [arr, np.full((self.batch_size - n, 1, *self.doc_size),
                               255, np.uint8)])
-        return self._fwd(self.state, jnp.asarray(arr))[:n]
+        if self.mesh is not None:
+            from qea_ocr_tpu.parallel import put_batch
+            dev_arr = put_batch(jnp.asarray(arr), self.mesh)
+        else:
+            dev_arr = jnp.asarray(arr)
+        return self._fwd(self.state, dev_arr)[:n]
 
     @staticmethod
     def _crop(cleaned: np.ndarray, geoms: List[_Geometry]) -> List[np.ndarray]:

@@ -55,6 +55,31 @@ def test_clean_arrays_geometry(prep_ckpt):
         assert np.isfinite(o).all() and 0.0 <= o.min() and o.max() <= 1.0
 
 
+def test_data_parallel_serving_matches_single_device(prep_ckpt):
+    """--data_parallel shards the serving batch over the 8-virtual-device
+    mesh; outputs must be bitwise-identical to the single-device path, and
+    batch_size rounds UP to a device multiple (6 -> 8 on 8 devices)."""
+    from qea_ocr_tpu.serve import DocumentCleaner
+
+    rng = np.random.default_rng(2)
+    imgs = [rng.random(DOC, dtype=np.float32) for _ in range(10)]
+    single = DocumentCleaner(prep_ckpt, unet_features=4, doc_size=DOC,
+                             batch_size=8)
+    dp = DocumentCleaner(prep_ckpt, unet_features=4, doc_size=DOC,
+                         batch_size=6, data_parallel=True)
+    assert dp.mesh is not None
+    assert dp.batch_size == 8  # rounded up to the device multiple
+    out_s = single.clean_arrays(imgs)
+    out_p = dp.clean_arrays(imgs)
+    for a, b in zip(out_s, out_p):
+        # partitioned convs schedule reductions differently per device, so
+        # a float ULP wiggle can cross a round() boundary: allow exactly
+        # one uint8 quantization step, require most pixels identical
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1.01 / 255.0)
+        assert (a == b).mean() > 0.95
+
+
 def test_clean_dir_duplicate_basenames(prep_ckpt, tmp_path):
     from qea_ocr_tpu.serve import DocumentCleaner
 
