@@ -30,7 +30,7 @@ def _env_flag(name: str, default: bool) -> bool:
     raw = os.environ.get(name, "").strip()
     if not raw:
         return default
-    return raw not in ("0", "false", "False")
+    return raw.lower() not in ("0", "false", "no", "off")
 
 
 def run_tpu(n_steps: int = 20, D: int = 96, S: int = 16) -> float:

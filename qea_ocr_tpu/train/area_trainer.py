@@ -546,13 +546,18 @@ class TrainNNPrepArea:
         L = self.charmap.max_len
         agg = dict(crnn_crt=0.0, crnn_cer=0.0, ocr_crt=0.0, ocr_cer=0.0,
                    match_crt=0.0, match_cer=0.0, loss=0.0)
-        count, batches = 0, 0
+        count = 0
         for batch in batch_iterator(
                 self.val_ds, B, partial(collate_words, charmap=self.charmap),
                 shuffle=False, drop_last=False,
                 num_workers=default_num_workers(), prefetch=2):
-            # score EVERY val sample (reference train_nn_area.py:327-345):
-            # the tail batch is padded to the compiled shape and masked out.
+            # score EVERY val sample: the tail batch is padded to the
+            # compiled shape and masked out. DELIBERATE deviation from the
+            # reference, which builds its val loader with drop_last=True
+            # (train_nn_area.py:137) yet divides by the FULL val_set_size
+            # (:347) — the dropped tail silently counts as wrong, deflating
+            # its area metrics whenever val_size % batch_size != 0. We score
+            # what we divide by (see PARITY.md, reference-defects note).
             real = batch.images.shape[0]
             batch = pad_wordbatch(batch, B)
             mask = np.arange(B) < real
@@ -581,15 +586,17 @@ class TrainNNPrepArea:
             agg["crnn_crt"] += float(crt); agg["crnn_cer"] += float(cer)
             agg["ocr_crt"] += float(t_crt); agg["ocr_cer"] += float(t_cer)
             agg["match_crt"] += float(m_crt); agg["match_cer"] += float(m_cer)
-            agg["loss"] += float(loss)
+            # batch loss is a masked mean over the batch's real samples;
+            # x real recovers the per-sample sum so the padded tail batch
+            # carries proportional (not equal-batch) weight
+            agg["loss"] += float(loss) * real
             count += real
-            batches += 1
         n = max(1, count)
         return dict(
             crnn_acc=agg["crnn_crt"] / n, ocr_acc=agg["ocr_crt"] / n,
             match_acc=agg["match_crt"] / n, crnn_cer=agg["crnn_cer"] / n,
             ocr_cer=agg["ocr_cer"] / n, match_cer=agg["match_cer"] / n,
-            loss=agg["loss"] / max(1, batches))
+            loss=agg["loss"] / n)
 
     def _save_side_jsons(self, epoch):
         self.history.save_json(

@@ -450,10 +450,13 @@ class TrainNNPrep:
                     self.dataset, self._dl, collate_docs,
                     seed=cfg.random_seed + 7000, epoch=epoch,
                     indices=self._local_train_indices):
-                images = jnp.asarray(batch.images)
                 if self.mesh is not None:
+                    # numpy straight to global placement (no device round
+                    # trip — see _prepare_work)
                     from qea_ocr_tpu.parallel import put_batch_global
-                    images = put_batch_global(images, self.mesh)
+                    images = put_batch_global(batch.images, self.mesh)
+                else:
+                    images = jnp.asarray(batch.images)
                 self.prep_state, loss = self.steps.prep_pretrain_step(
                     self.prep_state, images)
                 total += float(loss)
@@ -630,12 +633,17 @@ class TrainNNPrep:
         `async_ocr`). Host-side noise is drawn here so the OCR and phase A
         see identical jittered images."""
         cfg = self.cfg
-        images = jnp.asarray(batch.images)
-        bboxes = jnp.asarray(batch.bboxes)
         if self.mesh is not None:
+            # feed the NUMPY batch straight to the global placement —
+            # jnp.asarray first would device_put and immediately fetch the
+            # images back to host inside global_from_local, tripling the
+            # (bandwidth-bound) host link traffic on the hot path
             from qea_ocr_tpu.parallel import put_batch_global
-            images = put_batch_global(images, self.mesh)
-            bboxes = put_batch_global(bboxes, self.mesh)
+            images = put_batch_global(batch.images, self.mesh)
+            bboxes = put_batch_global(batch.bboxes, self.mesh)
+        else:
+            images = jnp.asarray(batch.images)
+            bboxes = jnp.asarray(batch.bboxes)
         with self.timer.time("prep_extract"):
             _, strips = self.steps.prep_extract(self.prep_state, images, bboxes)
         # Everything below is host-LOCAL: `batch` holds this process's Dl
@@ -715,8 +723,16 @@ class TrainNNPrep:
                 hist_labels[sel_rows] = labs
                 hist_lengths[sel_rows] = lens
                 hist_valid[sel_rows] = valid
-            else:
+            elif cfg.weightgen_method == "decaying" or not cfg.inner_limit_skip:
                 loss_weights = decaying_weights(cfg.decay_factor, W)
+            else:
+                # zero-selection batch under a per-sample weight generator
+                # (e.g. a global bitmap missing every local doc): the
+                # tracking loss is fully masked (hist_valid all False), but
+                # the traced shape must stay (nl, W+1) — a (W,) fallback
+                # would crash the trace single-process and diverge the
+                # compiled programs across hosts multi-process.
+                loss_weights = self._dev(np.zeros((nl, W + 1), np.float32))
 
             jitter_images = np.ones((n_jitter, nl, 1, *strip_hw), np.float32)
             jitter_labels = np.full((n_jitter, nl, L), self.charmap.pad_id,
@@ -785,7 +801,21 @@ class TrainNNPrep:
     # ------------------------------------------------------------------
     def _global_select(self, epoch: int):
         cfg = self.cfg
-        cers = np.asarray(self.cer_table)
+        ct = self.cer_table
+        if (self._pc > 1 and hasattr(ct, "sharding")
+                and not ct.sharding.is_fully_replicated):
+            # belt-and-braces: the tables re-enter each step replicated
+            # (donation aliases the output buffer to the replicated input),
+            # but if the partitioner ever leaves a data-sharded result,
+            # np.asarray would raise on non-addressable shards — rebuild
+            # the full table from per-process rows instead.
+            from jax.experimental import multihost_utils
+
+            from qea_ocr_tpu.parallel import local_rows
+            cers = np.concatenate(
+                list(multihost_utils.process_allgather(local_rows(ct))))
+        else:
+            cers = np.asarray(ct)
         num = max(1, int(round(
             (1 - cfg.minibatch_subset_prop) * self.dataset.num_strips)))
         fn = GLOBAL_METHODS[cfg.minibatch_subset]

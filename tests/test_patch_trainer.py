@@ -323,6 +323,25 @@ class TestPatchTrainerVariants:
         assert rec_tp["val_loss"] == pytest.approx(
             rec_dp["val_loss"], rel=1e-2)
 
+    def test_zero_selection_batch_with_samplewise_weightgen(self, tmp_path):
+        """A batch where the global bitmap selects NONE of its strips must
+        still trace: under a per-sample weight generator (levenshtein) the
+        loss_weights fallback has to keep the compiled (N, W+1) shape — a
+        (W,) decaying fallback crashed the trace (and would diverge the
+        compiled programs across hosts multi-process)."""
+        cfg = tiny_cfg(
+            tmp_path, epochs=1,
+            # prop 0.95 -> global num = max(1, round(0.05 * 12)) = 1 strip
+            # selected over 12: at 2 docs (8 slots) per batch, at least one
+            # batch has zero selected strips.
+            minibatch_subset="randomglobal", minibatch_subset_prop=0.95,
+            weightgen_method="levenshtein")
+        trainer = TrainNNPrep(cfg)
+        trainer.train()   # must not raise
+        # exactly 1 strip globally selected per round -> 2 train calls
+        # (inner_limit=2) + val 6
+        assert trainer.ocr.total_calls == 2 + 6
+
     def test_warmup_epochs_full_query(self, tmp_path):
         cfg = tiny_cfg(tmp_path, minibatch_subset="rangeCER",
                        warmup_epochs=1, epochs=1, inner_limit=1,
