@@ -32,6 +32,33 @@ def setup_platform(cache_root: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+    maybe_init_distributed()
+
+
+def maybe_init_distributed() -> None:
+    """Opt-in multi-process (TPU pod) runtime for CLI entry points.
+
+    `QEA_DISTRIBUTED=1` calls `jax.distributed.initialize()` before any
+    backend use. On Cloud TPU pod slices the coordinator/process topology
+    auto-detects from the TPU metadata; elsewhere (or to force a manual
+    cluster, e.g. CPU simulation) set all three of `QEA_COORDINATOR`
+    (host:port), `QEA_NUM_PROCESSES`, and `QEA_PROCESS_ID`. The trainers
+    pick the topology up via `jax.process_count()` (multi-host layer,
+    `parallel/multihost.py`); launchers: `scripts/run_patch_training.sh`.
+    """
+    if os.environ.get("QEA_DISTRIBUTED", "").strip() not in ("1", "true"):
+        return
+    import jax
+    from jax._src import distributed as _distributed
+    if getattr(_distributed.global_state, "client", None) is not None:
+        return  # already initialized (e.g. by a test harness)
+    kwargs = {}
+    if os.environ.get("QEA_COORDINATOR"):
+        kwargs = dict(
+            coordinator_address=os.environ["QEA_COORDINATOR"],
+            num_processes=int(os.environ["QEA_NUM_PROCESSES"]),
+            process_id=int(os.environ["QEA_PROCESS_ID"]))
+    jax.distributed.initialize(**kwargs)
 
 
 def default_mxu_packed() -> bool:

@@ -4,8 +4,11 @@
 # Counterpart of reference `compute_canada/run_nn_patch_training.sh` (SLURM /
 # single V100). On Cloud TPU the launcher is per-worker: run this script on
 # every host of the slice (e.g. via `gcloud compute tpus tpu-vm ssh --worker=all`)
-# and JAX's distributed initialization + the GSPMD data-parallel layer shard
-# the document batch across chips. Single-host single-chip works as-is.
+# with QEA_DISTRIBUTED=1 — jax.distributed auto-detects the pod topology,
+# and the trainer pins a per-host document subset, fans the OCR out per
+# host, and shards the global batch over all chips (`--data_parallel`).
+# For a manual cluster set QEA_COORDINATOR=host:port QEA_NUM_PROCESSES=N
+# QEA_PROCESS_ID=i as well. Single-host single-chip works as-is.
 #
 # The 4% POS query budget corresponds to --minibatch_subset_prop 0.95
 # (reference README.md:34); 8% ~ 0.87.

@@ -116,6 +116,32 @@ def test_two_process_trainer_epoch(tmp_path):
     assert results[0] == results[1], results
 
 
+def test_cli_distributed_env_glue():
+    """QEA_DISTRIBUTED=1 (+ manual QEA_COORDINATOR/NUM_PROCESSES/PROCESS_ID)
+    initializes jax.distributed from setup_platform — the operational entry
+    for pod launchers (scripts/run_patch_training.sh) — and is idempotent."""
+    port = _free_port()
+    code = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS']='cpu'\n"
+        "from qea_ocr_tpu.utils.platform import setup_platform\n"
+        "setup_platform()\n"
+        "import jax\n"
+        "from jax._src import distributed\n"
+        "assert distributed.global_state.client is not None\n"
+        "assert jax.process_count() == 1\n"
+        "setup_platform()\n"
+        "print('DIST_INIT_OK')\n")
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd=_REPO, text=True, timeout=180,
+        capture_output=True,
+        env={**os.environ, "QEA_PLATFORM": "cpu", "QEA_DISTRIBUTED": "1",
+             "QEA_COORDINATOR": f"127.0.0.1:{port}",
+             "QEA_NUM_PROCESSES": "1", "QEA_PROCESS_ID": "0"})
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "DIST_INIT_OK" in out.stdout
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
