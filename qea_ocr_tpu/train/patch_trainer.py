@@ -230,8 +230,16 @@ class TrainNNPrep:
         self.history = LabelHistory(
             self.dataset.num_strips, cfg.window_size, self.charmap)
         if cfg.tracked_labels_path:
-            self.history.load_json(cfg.tracked_labels_path,
-                                   self.dataset.name_to_id)
+            path = cfg.tracked_labels_path
+            # multi-process runs shard side-state per host (.pN suffix,
+            # _save_side_jsons); resume prefers this process's shard so a
+            # pod run can restart from its own history files by passing the
+            # unsuffixed name
+            base, ext = os.path.splitext(path)
+            shard = f"{base}.p{jax.process_index()}{ext}"
+            if os.path.exists(shard):
+                path = shard
+            self.history.load_json(path, self.dataset.name_to_id)
         self.attn_model = None
         self.attn_vars = None
         if cfg.weightgen_method == "self_attention":
