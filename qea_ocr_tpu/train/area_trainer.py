@@ -176,8 +176,9 @@ def make_area_steps(prep_model, crnn_model, charmap, *, sec_loss_scalar=1.0):
     def val_forward(prep_state, crnn_state, images, gt_labels, gt_lengths,
                     sample_mask):
         """Validation fwd. `sample_mask` excludes `pad_wordbatch` padding
-        rows from the loss (tail batches — the reference iterates every val
-        sample, `train_nn_area.py:327-345`)."""
+        rows from the loss (tail batches are padded+masked so every val
+        sample is scored — deliberate fix of the reference's
+        drop_last=True + /val_set_size mismatch, see _validate)."""
         img_out = prep_model.apply(prep_state.variables, images, train=False)
         scores = crnn_model.apply(crnn_state.variables, img_out, train=False)
         loss = ctc_loss_mean(scores, gt_labels, gt_lengths, pad_id=pad_id,

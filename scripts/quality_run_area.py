@@ -28,6 +28,12 @@ CORRUPTION = json.loads(os.environ.get(
     '{"noise_std": 0.14, "shading": 0.18, "salt_pepper": 0.007}'))
 OUT = os.environ.get("QUALITY_OUT", "/tmp/quality_area")
 BUDGET_PROP = float(os.environ.get("BUDGET_PROP", 0.75))
+# World-scale knobs shared with benchmarks/torch_reference_quality_area.py
+# so the reference-algorithm torch harness and this pipeline can run the
+# SAME world for quality-parity comparisons.
+TRAIN_SIZE = int(os.environ.get("TRAIN_SIZE", 2048))
+VAL_SIZE = int(os.environ.get("VAL_SIZE", 256))
+EVAL_SIZE = int(os.environ.get("EVAL_SIZE", 256))
 # Validate at import, BEFORE the (long) warmup phase runs.
 LR_SCHED_PREP = os.environ.get("LR_SCHED_PREP", "") or None
 if LR_SCHED_PREP not in (None, "cosine"):
@@ -66,7 +72,7 @@ def main():
     cfg = AreaTrainerConfig(
         epochs=int(os.environ.get("AREA_EPOCHS", 30)),
         ocr="Fake", dataset="synthetic",
-        synthetic_train_size=2048, synthetic_val_size=256,
+        synthetic_train_size=TRAIN_SIZE, synthetic_val_size=VAL_SIZE,
         batch_size=64, corruption=CORRUPTION,
         minibatch_subset="rangeCER", minibatch_subset_prop=BUDGET_PROP,
         inner_limit=2, inner_limit_skip=True, window_size=3,
@@ -98,7 +104,7 @@ def main():
                key=os.path.getmtime)
     ev = EvalPrep(EvalPrepConfig(
         prep_path=ckpts[-1], dataset="synthetic_area", ocr="Fake",
-        synthetic_size=256, batch_size=64,
+        synthetic_size=EVAL_SIZE, batch_size=64,
         corruption=CORRUPTION, random_seed=1234, show_orig=True))
     acc, cer = ev.eval()
     summary = dict(cleaned_acc=acc, cleaned_cer=cer,
