@@ -60,7 +60,9 @@ from qea_ocr_tpu.tracking import (
 from qea_ocr_tpu.train.patch_steps import make_steps
 from qea_ocr_tpu.train.state import ModelState, adam_l2
 from qea_ocr_tpu.utils.charmap import CharMap
-from qea_ocr_tpu.utils.io import ExpDirs, load_json, save_checkpoint, save_image_png, save_json
+from qea_ocr_tpu.utils.io import (
+    ExpDirs, load_json, resolve_side_shard, save_checkpoint, save_image_png,
+    save_json)
 from qea_ocr_tpu.utils.metrics import MetricsLogger, StepTimer
 
 
@@ -230,15 +232,12 @@ class TrainNNPrep:
         self.history = LabelHistory(
             self.dataset.num_strips, cfg.window_size, self.charmap)
         if cfg.tracked_labels_path:
-            path = cfg.tracked_labels_path
             # multi-process runs shard side-state per host (.pN suffix,
             # _save_side_jsons); resume prefers this process's shard so a
             # pod run can restart from its own history files by passing the
             # unsuffixed name
-            base, ext = os.path.splitext(path)
-            shard = f"{base}.p{jax.process_index()}{ext}"
-            if os.path.exists(shard):
-                path = shard
+            path = resolve_side_shard(
+                cfg.tracked_labels_path, jax.process_index())
             self.history.load_json(path, self.dataset.name_to_id)
         self.attn_model = None
         self.attn_vars = None

@@ -51,6 +51,21 @@ def load_json(path: str) -> Any:
         return json.load(f)
 
 
+def resolve_side_shard(path: str, process_index: int) -> str:
+    """Resolve a side-state JSON path to this process's per-host shard.
+
+    Multi-process trainers shard label-history/selection/CER side-state per
+    host with a ``.pN`` suffix before the extension (``tracked_labels.p1.json``
+    — `PatchTrainer._save_side_jsons`). Resume accepts the unsuffixed name on
+    every worker and prefers the worker's own shard when one exists, so a pod
+    restart uses one flag value across hosts. Falls back to ``path`` verbatim
+    (single-process runs, or a shard recorded for a different topology).
+    """
+    base, ext = os.path.splitext(path)
+    shard = f"{base}.p{process_index}{ext}"
+    return shard if os.path.exists(shard) else path
+
+
 def save_image_png(img: np.ndarray, path: str) -> None:
     """Save a (H, W) or (1, H, W) image as PNG — float [0,1] or uint8."""
     from PIL import Image

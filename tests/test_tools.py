@@ -102,3 +102,23 @@ class TestBuildPatchDataset:
         from qea_ocr_tpu.data.datasets import PatchDocuments
         ds = PatchDocuments(str(dst), max_strips=4)
         assert len(ds) == 1 and ds[0].strip_mask.sum() >= 1
+
+
+class TestResolveSideShard:
+    """resolve_side_shard (utils/io.py): pod resume picks this process's
+    .pN side-state shard when one exists (patch_trainer._save_side_jsons
+    writes tracked_labels_current.pN.json per host)."""
+
+    def test_prefers_own_shard(self, tmp_path):
+        from qea_ocr_tpu.utils.io import resolve_side_shard, save_json
+        base = tmp_path / "tracked_labels_current.json"
+        save_json({"who": "unsharded"}, str(base))
+        save_json({"who": "p1"}, str(tmp_path / "tracked_labels_current.p1.json"))
+        assert resolve_side_shard(str(base), 1).endswith(".p1.json")
+        # process 0 has no shard -> falls back to the unsuffixed file
+        assert resolve_side_shard(str(base), 0) == str(base)
+
+    def test_missing_everything_returns_input(self, tmp_path):
+        from qea_ocr_tpu.utils.io import resolve_side_shard
+        p = str(tmp_path / "nope.json")
+        assert resolve_side_shard(p, 3) == p
