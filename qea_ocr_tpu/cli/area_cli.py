@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">0: validate/checkpoint an EMA of the prep params "
                         "(drift countermeasure; e.g. 0.99)")
     p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--lstm_hidden", type=int, default=256,
+                   help="CRNN BiLSTM hidden size (reference fixes 256)")
+    p.add_argument("--unet_features", type=int, default=32,
+                   help="UNet level-1 feature count (reference fixes 32)")
     return p
 
 
@@ -93,6 +97,7 @@ def config_from_args(args) -> AreaTrainerConfig:
         prep_pretrain_epochs=args.prep_pretrain_epochs,
         prep_pretrain_lr=args.prep_pretrain_lr,
         prep_ema=args.prep_ema,
+        lstm_hidden=args.lstm_hidden, unet_features=args.unet_features,
     )
 
 

@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_docs", type=int, default=2)
     p.add_argument("--max_strips", type=int, default=32)
     p.add_argument("--lstm_hidden", type=int, default=256)
+    p.add_argument("--doc_size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="document canvas (default: config DOC_SIZE)")
+    p.add_argument("--synthetic_docs", type=int, default=8)
+    p.add_argument("--synthetic_size", type=int, default=64)
     return p
 
 
@@ -42,6 +47,9 @@ def main(argv=None):
         show_txt=args.show_txt, show_img=args.show_img,
         batch_docs=args.batch_docs, max_strips=args.max_strips,
         lstm_hidden=args.lstm_hidden,
+        synthetic_docs=args.synthetic_docs,
+        synthetic_size=args.synthetic_size,
+        **({"doc_size": tuple(args.doc_size)} if args.doc_size else {}),
     )
     EvalCRNN(cfg).eval()
 

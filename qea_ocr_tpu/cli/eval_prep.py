@@ -27,6 +27,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_docs", type=int, default=2)
     p.add_argument("--max_strips", type=int, default=32)
     p.add_argument("--unet_features", type=int, default=32)
+    p.add_argument("--doc_size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="document canvas (default: config DOC_SIZE)")
+    p.add_argument("--synthetic_docs", type=int, default=8)
+    p.add_argument("--synthetic_size", type=int, default=64)
+    p.add_argument("--synthetic_strips_per_doc", type=int, default=8)
     return p
 
 
@@ -41,6 +47,10 @@ def main(argv=None):
         show_orig=args.show_orig, show_txt=args.show_txt,
         show_img=args.show_img, batch_docs=args.batch_docs,
         max_strips=args.max_strips, unet_features=args.unet_features,
+        synthetic_docs=args.synthetic_docs,
+        synthetic_size=args.synthetic_size,
+        synthetic_strips_per_doc=args.synthetic_strips_per_doc,
+        **({"doc_size": tuple(args.doc_size)} if args.doc_size else {}),
     )
     EvalPrep(cfg).eval()
 

@@ -100,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "querying)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard document batches over all devices")
+    p.add_argument("--lstm_hidden", type=int, default=256,
+                   help="CRNN BiLSTM hidden size (reference fixes 256)")
+    p.add_argument("--unet_features", type=int, default=32,
+                   help="UNet level-1 feature count (reference fixes 32)")
     p.add_argument("--tensor_parallel", type=int, default=0,
                    help="model-axis shards of a 2-D (data x model) GSPMD "
                         "mesh: params + optimizer moments feature-sharded, "
@@ -139,6 +143,7 @@ def config_from_args(args) -> PatchTrainerConfig:
         synthetic_strips_per_doc=args.synthetic_strips_per_doc,
         async_ocr=args.async_ocr, data_parallel=args.data_parallel,
         tensor_parallel=args.tensor_parallel,
+        lstm_hidden=args.lstm_hidden, unet_features=args.unet_features,
         **({"doc_size": tuple(args.doc_size)} if args.doc_size else {}),
     )
 

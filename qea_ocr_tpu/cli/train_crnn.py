@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--start_epoch", type=int, default=-1)
     p.add_argument("--synthetic_train_size", type=int, default=256)
     p.add_argument("--synthetic_val_size", type=int, default=64)
+    p.add_argument("--lstm_hidden", type=int, default=256,
+                   help="CRNN BiLSTM hidden size (reference fixes 256)")
     return p
 
 
@@ -52,6 +54,7 @@ def main(argv=None):
         ckpt_path=args.ckpt_path, start_epoch=args.start_epoch,
         synthetic_train_size=args.synthetic_train_size,
         synthetic_val_size=args.synthetic_val_size,
+        lstm_hidden=args.lstm_hidden,
     )
     trainer = TrainCRNN(cfg)
     best_acc, best_epoch = trainer.train()
