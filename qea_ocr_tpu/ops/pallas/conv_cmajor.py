@@ -64,7 +64,7 @@ def unflat(xf: jax.Array, height: int, width: int) -> jax.Array:
     return xf.reshape(d_, c, height + 2, width)[:, :, 1:-1, :]
 
 
-def _kernel(a_ref, x_hbm, out_hbm, xbuf, ybuf, isems, osems, *,
+def _kernel(a_ref, x_hbm, out_hbm, xbuf, ybuf, zbuf, isems, osems, zsem, *,
             cin: int, cout: int, tile_h: int, width: int, n_tiles: int,
             n_steps: int, out_f32: bool):
     g = pl.program_id(0)
@@ -126,6 +126,25 @@ def _kernel(a_ref, x_hbm, out_hbm, xbuf, ybuf, isems, osems, *,
     y = y + jnp.where(lane_w == width - 1, 0.0,
                       pltpu.roll(partial_dx(2), thw - 1, 1))
 
+    # Zero the output's halo rows so chained consumers (BN/ReLU grads,
+    # elementwise reductions) see zeros — not recycled-buffer garbage —
+    # on the pad lanes. Two small blocking DMAs per document.
+    @pl.when(t == 0)
+    def _():
+        zbuf[...] = jnp.zeros_like(zbuf)
+        zc = pltpu.make_async_copy(
+            zbuf, out_hbm.at[d, :, pl.ds(0, width)], zsem)
+        zc.start()
+        zc.wait()
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        zc = pltpu.make_async_copy(
+            zbuf, out_hbm.at[d, :, pl.ds((n_tiles * tile_h + 1) * width,
+                                         width)], zsem)
+        zc.start()
+        zc.wait()
+
     # Manual output DMA at the +W lane offset (padded-flat layout for the
     # next conv in the chain): wait for this slot's previous flight, fill,
     # send; drain both slots on the last step.
@@ -157,8 +176,8 @@ def _kernel(a_ref, x_hbm, out_hbm, xbuf, ybuf, isems, osems, *,
 def _conv_flat(xf: jax.Array, w: jax.Array, height: int, width: int,
                tile_h: int, out_f32: bool = False) -> jax.Array:
     """Padded-flat conv: xf (D, Cin, (H+2)*W) bf16, w (3, 3, Cin, Cout)
-    HWIO -> padded-flat (D, Cout, (H+2)*W). The output halo lanes are
-    NOT written (uninitialized don't-cares by layout contract)."""
+    HWIO -> padded-flat (D, Cout, (H+2)*W). Output halo lanes are written
+    as zeros, so flat tensors stay halo-clean through conv chains."""
     d_, cin, hw2 = xf.shape
     assert hw2 == (height + 2) * width, (xf.shape, height, width)
     kh, kw, wcin, cout = w.shape
@@ -186,8 +205,10 @@ def _conv_flat(xf: jax.Array, w: jax.Array, height: int, width: int,
         scratch_shapes=[
             pltpu.VMEM((2, cin, (tile_h + 2) * width), jnp.bfloat16),
             pltpu.VMEM((2, cout, tile_h * width), out_dtype),
+            pltpu.VMEM((cout, width), out_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",), has_side_effects=True),
@@ -261,8 +282,9 @@ def _rot_w(w: jax.Array) -> jax.Array:
 def conv_flat_vjp(xf: jax.Array, w: jax.Array, height: int,
                   width: int) -> jax.Array:
     """Differentiable padded-flat conv. Cotangents arriving on the output
-    pad lanes are ignored (the kernel zeroes edge halos), and the returned
-    dXf has don't-care pad lanes — consistent with the layout contract."""
+    pad lanes are ignored (the kernel zeroes edge halos in VMEM), and the
+    returned dXf has zeroed pad lanes (the kernel writes them), so halo
+    garbage can never leak into chained elementwise/BN gradients."""
     return conv_flat(xf, w, height, width)
 
 
