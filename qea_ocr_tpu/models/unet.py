@@ -7,10 +7,23 @@ output. Each block is conv3x3(no bias) -> BatchNorm -> ReLU, twice.
 
 TPU-first: NHWC layout, bfloat16 compute / float32 params, channels rounded
 to MXU-friendly sizes already (32..512).
+
+Three interchangeable compute layouts for the SHALLOW levels (enc1, enc2,
+dec2, dec1 — the 32/64-channel convs that underfill the MXU's 128-lane axis
+under XLA's NHWC lowering), all with IDENTICAL parameter names/shapes so
+checkpoints are interchangeable:
+  * vanilla NHWC `nn.Conv` (always available, any backend/shape);
+  * `mxu_packed` space-to-depth twins (`ops/s2d.py`) — wins at serving
+    batch sizes, opt-in via `QEA_MXU_PACKED=1`;
+  * channel-major padded-flat Pallas blocks (`ops/pallas/conv_cmajor.py`)
+    — the implicit-GEMM kernel that puts the full image plane on the
+    128-lane axis; selected via `QEA_CONV_IMPL=auto|cmajor|xla` (`auto`
+    picks it on a single-device TPU backend at supported shapes).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -178,6 +191,203 @@ class PackedFinalConv(nn.Module):
         return y + jnp.tile(bias, 4).astype(self.compute_dtype)
 
 
+# ---------------------------------------------------------------------------
+# Channel-major padded-flat twins of the shallow modules (the Pallas
+# implicit-GEMM conv kernel, ops/pallas/conv_cmajor.py). Activations live as
+# (B, C, (H+2)*W) bf16 with the whole image plane on the MXU's 128-lane axis;
+# the one-row halo top+bottom makes every vertical conv tap a lane-offset
+# view. Parameter NAMES and SHAPES match the vanilla NHWC path exactly.
+# ---------------------------------------------------------------------------
+class FlatConv3x3(nn.Module):
+    """3x3 SAME conv on a padded-flat channel-major tensor. Output halo
+    lanes are zeros (the kernel writes them), so a FlatBatchNorm directly
+    downstream can reduce over all lanes with the real element count."""
+    features: int
+    height: int
+    width: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xf: jax.Array) -> jax.Array:
+        from qea_ocr_tpu.ops.pallas.conv_cmajor import conv_flat_vjp
+        cin = xf.shape[1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), self.param_dtype)
+        xf = xf.astype(jnp.bfloat16)
+        w = kernel.astype(jnp.bfloat16)
+        if cin < 16 and jax.default_backend() == "tpu":
+            # zero-pad the contraction axis to the MXU's bf16 granularity
+            # (enc1's first conv has cin=1); mathematically a no-op, and
+            # autodiff slices dW back through the pad's transpose.
+            pad = 16 - cin
+            xf = jnp.pad(xf, ((0, 0), (0, pad), (0, 0)))
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return conv_flat_vjp(xf, w, self.height, self.width)
+
+
+class FlatBatchNorm(nn.Module):
+    """BatchNorm over the channel axis of a padded-flat tensor.
+
+    The input MUST be a FlatConv3x3 output: its pad lanes are zeros, so
+    summing ALL lanes and dividing by the REAL element count (B*H*W) gives
+    exact vanilla `nn.BatchNorm(momentum=0.9)` statistics without a mask
+    pass. The output's pad lanes become `bias - mean*mul` (nonzero) — a
+    don't-care for the next conv (it re-zeroes fetched halos) but NOT for
+    any other consumer. Params/stats keep the vanilla (C,) shapes."""
+    features: int
+    height: int
+    width: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    compute_dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xf: jax.Array, use_running_average: bool) -> jax.Array:
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,),
+                          self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            n = xf.shape[0] * self.height * self.width  # REAL elements
+            xs = xf.astype(jnp.float32)
+            mean = xs.sum(axis=(0, 2)) / n
+            var = (xs * xs).sum(axis=(0, 2)) / n - mean * mean
+            if not self.is_initializing() and \
+                    self.is_mutable_collection("batch_stats"):
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        mul = scale * jax.lax.rsqrt(var + self.epsilon)
+        add = bias - mean * mul
+        return (xf.astype(self.compute_dtype)
+                * mul[None, :, None].astype(self.compute_dtype)
+                + add[None, :, None].astype(self.compute_dtype))
+
+
+class FlatUNetBlock(nn.Module):
+    """conv-BN-relu x2 staying in the padded-flat layout (names match
+    vanilla UNetBlock). Output pad lanes are post-ReLU garbage: consumers
+    must be another flat conv (immune) or go through `unflat`."""
+    features: int
+    height: int
+    width: int
+    compute_dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xf: jax.Array, train: bool = False) -> jax.Array:
+        for i in range(2):
+            xf = FlatConv3x3(self.features, self.height, self.width,
+                             name=f"Conv_{i}",
+                             param_dtype=self.param_dtype)(xf)
+            xf = FlatBatchNorm(
+                self.features, self.height, self.width,
+                name=f"BatchNorm_{i}", compute_dtype=self.compute_dtype,
+                param_dtype=self.param_dtype)(
+                xf, use_running_average=not train)
+            xf = nn.relu(xf)
+        return xf
+
+
+class CMUpconv(nn.Module):
+    """Stride-2 2x2 ConvTranspose in channel-major layout: four (Cout,Cin)
+    GEMMs over the flattened spatial axis + one parity-interleave relayout.
+    Matches `nn.ConvTranspose(f, (2,2), strides=(2,2))` exactly:
+    y[2h+dy, 2w+dx] = sum_c K[1-dy, 1-dx, c, o] x[h, w, c] + b[o]
+    (names/shapes match ConvTranspose)."""
+    features: int
+    compute_dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, c, h, w = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (2, 2, c, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        k = kernel[::-1, ::-1].reshape(4, c, self.features)
+        t = jnp.einsum("pco,bchw->bpohw", k.astype(self.compute_dtype),
+                       x.astype(self.compute_dtype))
+        t = t.reshape(b, 2, 2, self.features, h, w)
+        t = jnp.transpose(t, (0, 3, 4, 1, 5, 2)).reshape(
+            b, self.features, 2 * h, 2 * w)
+        return t + bias.astype(self.compute_dtype)[None, :, None, None]
+
+
+class CMFinalConv(nn.Module):
+    """1x1 output conv in channel-major layout (names/shapes match the
+    vanilla `nn.Conv(out, (1, 1))`)."""
+    features: int
+    compute_dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, cin, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        y = jnp.einsum("co,bchw->bohw",
+                       kernel[0, 0].astype(self.compute_dtype),
+                       x.astype(self.compute_dtype))
+        return y + bias.astype(self.compute_dtype)[None, :, None, None]
+
+
+def _flat_pool(xf: jax.Array, height: int, width: int) -> jax.Array:
+    """Padded-flat (B,C,(H+2)W) -> channel-major 2x2 max-pooled
+    (B,C,H/2,W/2) (drops the halo; exact `nn.max_pool` parity)."""
+    b, c, _ = xf.shape
+    x = xf.reshape(b, c, height + 2, width)[:, :, 1:-1]
+    return x.reshape(b, c, height // 2, 2, width // 2, 2).max(axis=(3, 5))
+
+
+def cmajor_supported(height: int, width: int, init_features: int) -> bool:
+    """Whether the channel-major kernel covers this document geometry:
+    lane-aligned widths at levels 1-2 and a tileable height at the widest
+    input channel count of each level (dec1: 2f, dec2: 4f)."""
+    from qea_ocr_tpu.ops.pallas.conv_cmajor import default_tile_h
+    f = init_features
+    if width % 128 or (width // 2) % 128 or height % 4:
+        return False
+    return (default_tile_h(height, width, 2 * f) is not None
+            and default_tile_h(height // 2, width // 2, 4 * f) is not None)
+
+
+def resolve_conv_impl(conv_impl: str, height: int, width: int,
+                      init_features: int) -> str:
+    """`auto` (per `QEA_CONV_IMPL`, read at trace time like
+    `QEA_GATHER_IMPL`) resolves to the channel-major Pallas path on a
+    single-device TPU backend at supported shapes; multi-device meshes fall
+    back to XLA (GSPMD cannot partition a pallas_call over the data axis)."""
+    impl = conv_impl
+    if impl == "auto":
+        impl = os.environ.get("QEA_CONV_IMPL", "auto")
+    if impl == "xla":
+        return "xla"
+    ok = cmajor_supported(height, width, init_features)
+    if impl == "cmajor":
+        assert ok, (f"QEA_CONV_IMPL=cmajor unsupported for doc "
+                    f"{(height, width)} at f={init_features}")
+        return "cmajor"
+    if ok and jax.default_backend() == "tpu" and jax.device_count() == 1:
+        return "cmajor"
+    return "xla"
+
+
 class UNet(nn.Module):
     """4-level UNet; `__call__` takes NCHW (B, 1, H, W), returns same shape
     sigmoid output in float32. H and W must be divisible by 16."""
@@ -193,10 +403,16 @@ class UNet(nn.Module):
                               # levels (exact math, MXU-aligned channels;
                               # see ops/s2d.py). Checkpoint-compatible with
                               # the vanilla layout either way.
+    conv_impl: str = "auto"   # shallow-level conv layout: "cmajor" runs
+                              # enc1/enc2/dec2/dec1 + upconvs + final 1x1 in
+                              # channel-major padded-flat via the Pallas
+                              # implicit-GEMM kernel; "xla" forces vanilla
+                              # NHWC; "auto" defers to QEA_CONV_IMPL (trace-
+                              # time), picking cmajor on single-device TPU.
+                              # Checkpoint-compatible across all values.
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.compute_dtype)  # NHWC
         f = self.init_features
         kw = dict(compute_dtype=self.compute_dtype,
                   param_dtype=self.param_dtype)
@@ -208,10 +424,29 @@ class UNet(nn.Module):
             feat, (2, 2), strides=(2, 2),
             dtype=self.compute_dtype, param_dtype=self.param_dtype, name=name,
         )
+        use_cmajor = (not self.mxu_packed and resolve_conv_impl(
+            self.conv_impl, x.shape[2], x.shape[3], f) == "cmajor")
+        if use_cmajor:
+            from qea_ocr_tpu.ops.pallas.conv_cmajor import pad_flat, unflat
+            H, W = x.shape[2], x.shape[3]
+            fblk_cls = (nn.remat(FlatUNetBlock, static_argnums=(2,))
+                        if self.remat else FlatUNetBlock)
+            fblk = lambda feat, h, w, name: fblk_cls(feat, h, w, name=name,
+                                                     **kw)
+            e1f = fblk(f, H, W, "enc1")(pad_flat(x), train)
+            pool1f = _flat_pool(e1f, H, W)            # (B, f, H/2, W/2)
+            e2f = fblk(f * 2, H // 2, W // 2, "enc2")(pad_flat(pool1f), train)
+            pool2 = jnp.transpose(                    # NHWC for deep levels
+                _flat_pool(e2f, H // 2, W // 2), (0, 2, 3, 1))
+        else:
+            x = jnp.transpose(x, (0, 2, 3, 1)).astype(
+                self.compute_dtype)  # NHWC
 
         pblk_cls = (nn.remat(PackedUNetBlock, static_argnums=(2,))
                     if self.remat else PackedUNetBlock)
-        if self.mxu_packed:
+        if use_cmajor:
+            pass
+        elif self.mxu_packed:
             # levels 1-2 in packed space; deep levels (>=4f channels) vanilla
             e1p = pblk_cls(f, name="enc1", **kw)(
                 space_to_depth(x), train)                  # (H/2,W/2,4f)
@@ -234,7 +469,22 @@ class UNet(nn.Module):
         dec3 = upconv(f * 4, "upconv3")(dec4)
         dec3 = block(f * 4, "dec3")(jnp.concatenate([dec3, enc3], -1), train)
 
-        if self.mxu_packed:
+        if use_cmajor:
+            u2 = CMUpconv(f * 2, name="upconv2", **kw)(
+                jnp.transpose(dec3, (0, 3, 1, 2)))     # (B, 2f, H/2, W/2)
+            d2f = fblk(f * 2, H // 2, W // 2, "dec2")(
+                pad_flat(jnp.concatenate(
+                    [u2, unflat(e2f, H // 2, W // 2)], 1)), train)
+            u1 = CMUpconv(f, name="upconv1", **kw)(
+                unflat(d2f, H // 2, W // 2))           # (B, f, H, W)
+            # e1f's pad lanes hold post-ReLU garbage — a don't-care for the
+            # flat conv (edge-tile halos re-zeroed on fetch in VMEM).
+            d1f = fblk(f, H, W, "dec1")(
+                jnp.concatenate([pad_flat(u1), e1f], 1), train)
+            out = CMFinalConv(self.out_channels, name="Conv_0", **kw)(
+                unflat(d1f, H, W))
+            return jax.nn.sigmoid(out.astype(jnp.float32))  # NCHW already
+        elif self.mxu_packed:
             up2 = PackedUpconv(f * 2, name="upconv2", **kw)(dec3)
             d2p = pblk_cls(f * 2, in_splits=2, name="dec2", **kw)(
                 jnp.concatenate([up2, e2p], -1), train)    # (H/4,W/4,8f)

@@ -25,9 +25,17 @@ one v5e):
 - The per-conv jnp.pad pass measured ~12 ms at dec1 shape — half the
   kernel's wall clock — so padding happens ONCE per layout entry
   (`pad_flat`), kernels write the +W lane offset directly (manual output
-  DMA), and edge-tile halo lanes are zeroed in VMEM each step, which
-  makes the HBM pad lanes don't-cares: interleaved XLA elementwise ops
-  (BN, ReLU) may freely corrupt them.
+  DMA), and edge-tile halo lanes of the INPUT are zeroed in VMEM on
+  fetch, which makes the input's HBM pad lanes don't-cares: interleaved
+  XLA elementwise ops (BN, ReLU) may freely corrupt them without
+  affecting any conv output.
+- The OUTPUT's halo lanes are written as zeros, so a tensor is
+  halo-clean immediately downstream of a conv (flat reductions like
+  BatchNorm statistics can sum all lanes and divide by the REAL element
+  count). The zero guarantee holds only until the next interleaved
+  elementwise op touches the pad lanes (e.g. a BN bias + ReLU leaves
+  `relu(bias)` there); the next conv in the chain is immune (see above),
+  but any other consumer must go through `unflat` first.
 - The three horizontal taps (dx) are folded in by single-lane rolls of
   the (Cout, TH*W) partial outputs with document-edge masks (rolling the
   output is Cin/Cout times cheaper than shifting the operand).
@@ -35,7 +43,10 @@ one v5e):
 bf16 MXU compute, f32 accumulation — same numerics as the XLA conv at
 bf16 inputs with preferred_element_type=f32.
 
-Used by `models/unet.py`'s channel-major blocks (`QEA_CONV_IMPL=cmajor`).
+Used by `models/unet.py`'s channel-major UNet path (`FlatUNetBlock` /
+`CMUpconv`), selected via `QEA_CONV_IMPL=auto|cmajor|xla` — `auto`
+(default) picks this kernel on a single-device TPU backend at supported
+shapes. Off-TPU the kernel runs in Pallas interpret mode (tests).
 Reference semantics: `models/model_unet.py:7-109` (3x3 SAME convs inside
 UNet._block).
 """
@@ -195,6 +206,8 @@ def _conv_flat(xf: jax.Array, w: jax.Array, height: int, width: int,
         functools.partial(
             _kernel, cin=cin, cout=cout, tile_h=tile_h, width=width,
             n_tiles=n_tiles, n_steps=n_steps, out_f32=out_f32),
+        # interpret mode emulates the DMA path off-TPU (CPU tests)
+        interpret=jax.default_backend() != "tpu",
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # A (3, 3, Cout, Cin)
