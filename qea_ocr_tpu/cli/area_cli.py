@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">0: validate/checkpoint an EMA of the prep params "
                         "(drift countermeasure; e.g. 0.99)")
     p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="GSPMD data parallelism: shard the crop batch over "
+                        "all devices (batch_size must divide evenly); "
+                        "multi-process runs pin word subsets per host")
     p.add_argument("--lstm_hidden", type=int, default=256,
                    help="CRNN BiLSTM hidden size (reference fixes 256)")
     p.add_argument("--unet_features", type=int, default=32,
@@ -96,7 +100,7 @@ def config_from_args(args) -> AreaTrainerConfig:
         synthetic_val_size=args.synthetic_val_size, use_wandb=args.use_wandb,
         prep_pretrain_epochs=args.prep_pretrain_epochs,
         prep_pretrain_lr=args.prep_pretrain_lr,
-        prep_ema=args.prep_ema,
+        prep_ema=args.prep_ema, data_parallel=args.data_parallel,
         lstm_hidden=args.lstm_hidden, unet_features=args.unet_features,
     )
 

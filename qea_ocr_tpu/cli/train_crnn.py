@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_val_size", type=int, default=64)
     p.add_argument("--lstm_hidden", type=int, default=256,
                    help="CRNN BiLSTM hidden size (reference fixes 256)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="GSPMD data parallelism: shard the crop batch over "
+                        "all devices (batch_size must divide evenly); "
+                        "multi-process runs pin word subsets per host")
     return p
 
 
@@ -54,7 +58,7 @@ def main(argv=None):
         ckpt_path=args.ckpt_path, start_epoch=args.start_epoch,
         synthetic_train_size=args.synthetic_train_size,
         synthetic_val_size=args.synthetic_val_size,
-        lstm_hidden=args.lstm_hidden,
+        lstm_hidden=args.lstm_hidden, data_parallel=args.data_parallel,
     )
     trainer = TrainCRNN(cfg)
     best_acc, best_epoch = trainer.train()

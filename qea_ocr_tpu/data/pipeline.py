@@ -121,6 +121,21 @@ def pad_docbatch(batch: DocBatch, D: int) -> DocBatch:
     )
 
 
+def blank_wordbatch(like: WordBatch, B: int) -> WordBatch:
+    """An all-padding word batch with `like`'s per-row shapes: B white
+    images with zero-length labels. Used by multi-process validation when
+    this host's slice of a global window is empty but the jitted lockstep
+    still needs its rows (counterpart of `blank_docbatch`)."""
+
+    def _z(a, fill=0):
+        return np.full((B, *a.shape[1:]), fill, a.dtype)
+
+    return WordBatch(
+        images=_z(like.images, 1.0), labels=_z(like.labels),
+        lengths=_z(like.lengths), strip_ids=_z(like.strip_ids),
+        texts=[""] * B, names=[""] * B)
+
+
 def blank_docbatch(like: DocBatch, D: int) -> DocBatch:
     """An all-padding batch with `like`'s per-doc shapes: D mask-zero docs.
     Used by multi-process validation when this host's slice of a global

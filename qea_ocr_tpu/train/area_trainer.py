@@ -9,6 +9,17 @@ cosine LR schedule steps per epoch (`train_nn_area.py:156-161,313-315`).
 Reuses the patch phase-A step (it is text-stack-agnostic) and a dedicated
 phase-B that fuses UNet fwd + CRNN(frozen BN) + CTC(GT) + MSE(white) with
 the device CER/entropy table update.
+
+Scaling (TPU-native; the reference is strictly single-device, SURVEY §5):
+`data_parallel=True` replicates model/optimizer state over a 1-D `data`
+mesh and shards the (B, 1, 32, 128) crop batch on the word axis — XLA
+partitions the SAME jitted steps and inserts the gradient psum from the
+sharding annotations. Under multiple JAX processes (pods), `batch_size` is
+the GLOBAL batch: each host owns a pinned subset of the word crops
+(`parallel/multihost.py`), runs the black-box OCR for its own rows only,
+and the device boundary assembles global arrays. Selection/label-history
+stay host-local per pinned subset (each host picks its
+ceil(Bl*(1-prop)) rows — same per-host budget, queries never cross DCN).
 """
 
 from __future__ import annotations
@@ -91,6 +102,11 @@ class AreaTrainerConfig:
     # exposed as an opt-in extension here.
     lr_scheduler_prep: Optional[str] = None
     # TPU-native additions
+    data_parallel: bool = False  # shard the word-crop batch over all devices
+                                 # (GSPMD 1-D `data` mesh; model/opt state
+                                 # replicated). Multi-process: batch_size is
+                                 # the GLOBAL batch, word crops pinned per
+                                 # host (see module docstring).
     prep_ema: float = 0.0     # >0: keep an exponential moving average of the
                               # prep params (decay=this value, updated after
                               # every phase-B step) and use it for validation
@@ -273,6 +289,38 @@ class TrainNNPrepArea:
         self.all_cers: Dict[str, List[float]] = {}
         self.global_bitmap = np.zeros((n,), bool)
 
+        # Optional GSPMD data parallelism: replicate states, shard batches
+        # on the word axis; XLA partitions the same jitted steps and inserts
+        # the gradient psum from the sharding annotations (mirrors
+        # patch_trainer.py — reference `train_nn_area.py` is single-device).
+        self.mesh = None
+        if cfg.data_parallel:
+            from qea_ocr_tpu.parallel import make_mesh, put_replicated
+            self.mesh = make_mesh()
+            n_dev = len(self.mesh.devices.flat)
+            if cfg.batch_size % n_dev:
+                raise ValueError(
+                    f"batch_size={cfg.batch_size} must be a multiple of the "
+                    f"device count {n_dev} for data_parallel mode")
+            self.prep_state = put_replicated(self.prep_state, self.mesh)
+            self.crnn_state = put_replicated(self.crnn_state, self.mesh)
+            self.cer_table = put_replicated(self.cer_table, self.mesh)
+            self.ent_table = put_replicated(self.ent_table, self.mesh)
+
+        # Multi-host topology: batch_size is the GLOBAL batch; each host
+        # owns a pinned word subset, loads/OCRs only its Bl = batch_size/pc
+        # rows, and the device boundary assembles global arrays.
+        self._pc = jax.process_count() if self.mesh is not None else 1
+        self._pi = jax.process_index() if self.mesh is not None else 0
+        if self._pc > 1 and cfg.batch_size % self._pc:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must be a multiple of the "
+                f"process count {self._pc}")
+        self._bl = cfg.batch_size // self._pc  # local words per step
+        from qea_ocr_tpu.parallel import pinned_subset
+        self._local_train_indices = pinned_subset(
+            np.arange(len(self.train_ds)), self._pi, self._pc)
+
         # phase A is strip-layout agnostic — reuse the patch step factory.
         self._patch_steps = make_steps(
             self.prep_model, self.crnn_model, self.charmap,
@@ -280,7 +328,8 @@ class TrainNNPrepArea:
         self.steps = make_area_steps(
             self.prep_model, self.crnn_model, self.charmap,
             sec_loss_scalar=cfg.scalar)
-        self.logger = MetricsLogger(cfg.exp_base_path, use_wandb=cfg.use_wandb)
+        self.logger = MetricsLogger(
+            cfg.exp_base_path, use_wandb=cfg.use_wandb and self._pi == 0)
         self.timer = StepTimer()
         self._compare = jax.jit(compare_labels_device)
         self._last_crnn_loss = 0.0
@@ -297,6 +346,35 @@ class TrainNNPrepArea:
                     lambda a, b: decay * a + (1.0 - decay) * b, ema, p))
 
     # ------------------------------------------------------------------
+    def _dev(self, x, dim: int = 0):
+        """Device placement for batch-dimension arrays: plain `jnp.asarray`
+        under one process (jit shards on the mesh), global-array assembly
+        from this process's local rows under many (`dim` = the sharded
+        dimension, e.g. 1 for (n_jitter, B, ...) stacks)."""
+        if self._pc == 1:
+            return jnp.asarray(x)
+        from qea_ocr_tpu.parallel import (
+            global_from_local, global_from_local_dim)
+        if dim == 0:
+            return global_from_local(x, self.mesh)
+        return global_from_local_dim(x, self.mesh, dim)
+
+    def _put_images(self, images: np.ndarray):
+        """Word-crop batch placement: explicitly `P(data)`-sharded under a
+        mesh (multi-host-safe), plain device array otherwise."""
+        if self.mesh is None:
+            return jnp.asarray(images)
+        from qea_ocr_tpu.parallel import put_batch_global
+        return put_batch_global(images, self.mesh)
+
+    def _fetch_rows(self, global_array) -> np.ndarray:
+        """Host copy of this process's rows of a batch-sharded device
+        array (the whole array under one process)."""
+        if self._pc == 1:
+            return np.asarray(global_array)
+        from qea_ocr_tpu.parallel import local_rows
+        return local_rows(global_array)
+
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
@@ -331,11 +409,12 @@ class TrainNNPrepArea:
         for epoch in range(cfg.prep_pretrain_epochs):
             total, n = 0.0, 0
             for batch in batch_iterator(
-                    self.train_ds, cfg.batch_size,
+                    self.train_ds, self._bl,
                     partial(collate_words, charmap=self.charmap),
-                    seed=cfg.random_seed + 7000, epoch=epoch):
+                    seed=cfg.random_seed + 7000, epoch=epoch,
+                    indices=self._local_train_indices):
                 self.prep_state, loss = self.steps.prep_pretrain_step(
-                    self.prep_state, jnp.asarray(batch.images))
+                    self.prep_state, self._put_images(batch.images))
                 total += float(loss)
                 n += 1
             print(f"[prep-pretrain] epoch {epoch} mse {total / max(1, n):.5f}")
@@ -369,8 +448,12 @@ class TrainNNPrepArea:
             if is_global(cfg.minibatch_subset):
                 num = max(1, int(round((1 - cfg.minibatch_subset_prop)
                                        * len(self.train_ds))))
+                # dedicated per-epoch stream (not self._np_rng, whose state
+                # depends on data-dependent noise draws): every process
+                # derives the SAME global bitmap (patch-trainer parity)
+                rng = np.random.default_rng((cfg.random_seed, 9173, epoch))
                 self.global_bitmap = GLOBAL_METHODS[cfg.minibatch_subset](
-                    self._np_rng, np.asarray(self.cer_table), num)
+                    rng, np.asarray(self.cer_table), num)
             self.ocr.reset_epoch()
             training_loss, steps = 0.0, 0
             crnn_loss_acc = 0.0
@@ -379,17 +462,20 @@ class TrainNNPrepArea:
             last_img_out = None
 
             for batch in batch_iterator(
-                    self.train_ds, B, partial(collate_words, charmap=self.charmap),
+                    self.train_ds, self._bl,
+                    partial(collate_words, charmap=self.charmap),
                     seed=cfg.random_seed, epoch=epoch,
+                    indices=self._local_train_indices,
                     num_workers=default_num_workers(), prefetch=2):
-                images = jnp.asarray(batch.images)
+                images = self._put_images(batch.images)
                 img_preds = self.steps.prep_forward(self.prep_state, images)
 
-                # ------------- selection ------------------------------
+                # ------- selection (host-LOCAL rows; see module docstring)
+                Bl = self._bl
                 ids = jnp.asarray(batch.strip_ids)
-                valid = jnp.ones((1, B), bool)
+                valid = jnp.ones((1, Bl), bool)
                 if (not cfg.minibatch_subset) or epoch < cfg.warmup_epochs:
-                    bb_mask = np.ones((B,), bool)
+                    bb_mask = np.ones((Bl,), bool)
                 elif is_global(cfg.minibatch_subset):
                     bb_mask = np.asarray(membership_mask(
                         ids, jnp.asarray(self.global_bitmap)))
@@ -397,16 +483,17 @@ class TrainNNPrepArea:
                     est_table = (self.ent_table
                                  if cfg.minibatch_subset == "uniformEntropy"
                                  else self.cer_table)
+                    est = np.asarray(est_table)[batch.strip_ids]
                     m, _ = select_batch(
                         cfg.minibatch_subset, self._next_key(),
-                        est_table[ids][None], valid,
+                        jnp.asarray(est)[None], valid,
                         cfg.minibatch_subset_prop)
                     bb_mask = np.asarray(m[0])
                 sel_rows = np.nonzero(bb_mask)[0]
                 sel_ids = batch.strip_ids[sel_rows]
                 if epoch_print:
                     print(f"Total Samples - {B}")
-                    print(f"OCR Samples - {len(sel_rows)}")
+                    print(f"OCR Samples - {len(sel_rows) * self._pc}")
                     epoch_print = False
                 for r in sel_rows:
                     self.selected_samples.setdefault(
@@ -415,7 +502,7 @@ class TrainNNPrepArea:
                 # ------------- phase A --------------------------------
                 if cfg.inner_limit:
                     self._phase_a(batch, img_preds, bb_mask, sel_rows,
-                                  sel_ids, n_jitter, B, L, W)
+                                  sel_ids, n_jitter, Bl, L, W)
                     total_crnn_updates += 1
                     epoch_crnn_updates += 1
                     crnn_loss_acc += self._last_crnn_loss
@@ -424,8 +511,8 @@ class TrainNNPrepArea:
                 (self.prep_state, self.crnn_state, img_out, metrics,
                  self.cer_table, self.ent_table) = self.steps.phase_b(
                     self.prep_state, self.crnn_state, images,
-                    jnp.asarray(batch.labels), self.cer_table, self.ent_table,
-                    jnp.asarray(batch.lengths), ids,
+                    self._dev(batch.labels), self.cer_table, self.ent_table,
+                    self._dev(batch.lengths), self._dev(batch.strip_ids),
                     update_crnn=cfg.update_CRNN)
                 if self.ema_params is not None:
                     self.ema_params = self._ema_update(
@@ -434,8 +521,9 @@ class TrainNNPrepArea:
                 steps += 1
                 last_img_out = img_out
                 if cfg.minibatch_subset:
-                    cers_np = np.asarray(metrics["cers"])
-                    for r in range(B):
+                    # this host's rows of the global per-sample CER vector
+                    cers_np = self._fetch_rows(metrics["cers"])
+                    for r in range(Bl):
                         self.all_cers.setdefault(
                             batch.names[r], []).append(float(cers_np[r]))
 
@@ -448,6 +536,12 @@ class TrainNNPrepArea:
             # 306-307 — its validation get_labels calls never touch
             # epoch_bb_calls/total_bb_calls).
             epoch_bb_calls = self.ocr.epoch_calls
+            if self._pc > 1:
+                # global ledger: sum the per-host engine counters (each host
+                # queried only its own pinned rows; device losses are
+                # already global — computed over the assembled batch)
+                from qea_ocr_tpu.parallel import process_sum
+                epoch_bb_calls = int(process_sum([epoch_bb_calls])[0])
             total_train_bb_calls += epoch_bb_calls
             val = self._validate()
             metrics_out = {
@@ -466,11 +560,18 @@ class TrainNNPrepArea:
                 "CRNN_OCR_Matching_ACC": val["match_acc"],
                 "CRNN_OCR_Matching_CER": val["match_cer"],
             }
-            self.logger.log(metrics_out)
-            if last_img_out is not None:
-                save_image_png(np.asarray(last_img_out[0]),
-                               os.path.join(self.dirs.img_out, f"out_{epoch}.png"))
+            if self._pi == 0:
+                # process 0 owns the metrics stream + sample images
+                # (replicated state: one copy is the truth)
+                self.logger.log(metrics_out)
+                if last_img_out is not None:
+                    save_image_png(
+                        self._fetch_rows(last_img_out)[0],
+                        os.path.join(self.dirs.img_out, f"out_{epoch}.png"))
             ocr_acc = val["ocr_acc"]
+            # orbax saves are COLLECTIVE under jax.distributed — every
+            # process must enter them; ocr_acc comes from global reductions,
+            # so path names and the best-checkpoint branch agree everywhere.
             prep_path = os.path.join(
                 self.dirs.ckpts, f"Prep_model_{epoch}_{ocr_acc * 100:.2f}")
             save_checkpoint(prep_path, self._eval_prep_state())
@@ -480,31 +581,36 @@ class TrainNNPrepArea:
                 best_val_acc, best_val_epoch = ocr_acc, epoch
                 save_checkpoint(os.path.join(self.dirs.ckpts, "Prep_model_best"),
                                 self._eval_prep_state())
-                self.logger.update_summary({"best_val_acc": best_val_acc,
-                                            "best_val_epoch": best_val_epoch})
+                if self._pi == 0:
+                    self.logger.update_summary(
+                        {"best_val_acc": best_val_acc,
+                         "best_val_epoch": best_val_epoch})
             self._maybe_optuna(ocr_acc * 100, epoch)
         print("Training Completed.")
         return best_val_acc, best_val_epoch
 
     # ------------------------------------------------------------------
     def _phase_a(self, batch, img_preds, bb_mask, sel_rows, sel_ids,
-                 n_jitter, B, L, W):
+                 n_jitter, Bl, L, W):
+        """One CRNN (proxy) update. All host-side arrays here hold this
+        host's LOCAL `Bl` rows (each host OCRs only its own pinned crops);
+        `_dev` assembles the global (B, ...) device arrays."""
         cfg = self.cfg
-        preds_np = np.asarray(img_preds)
+        preds_np = self._fetch_rows(img_preds)
         sel_imgs = preds_np[sel_rows]
 
-        hist_labels = np.full((B, W, L), self.charmap.pad_id, np.int32)
-        hist_lengths = np.zeros((B, W), np.int32)
-        hist_valid = np.zeros((B, W), bool)
+        hist_labels = np.full((Bl, W, L), self.charmap.pad_id, np.int32)
+        hist_lengths = np.zeros((Bl, W), np.int32)
+        hist_valid = np.zeros((Bl, W), bool)
         if cfg.inner_limit_skip:
             res = self.ocr.query(sel_imgs)
             lw = self._gen_weights(sel_ids)
             if cfg.weightgen_method == "decaying":
                 loss_weights = lw
             else:
-                full = np.zeros((B, W + 1), np.float32)
+                full = np.zeros((Bl, W + 1), np.float32)
                 full[sel_rows] = np.asarray(lw)
-                loss_weights = jnp.asarray(full)
+                loss_weights = self._dev(full)
             self.history.add(sel_ids, res.labels, res.lengths, res.texts)
             labs, lens, valid = self.history.gather(sel_ids)
             hist_labels[sel_rows] = labs
@@ -514,8 +620,9 @@ class TrainNNPrepArea:
             loss_weights = decaying_weights(cfg.decay_factor, W)
 
         jitter_images = np.ones((n_jitter, *preds_np.shape), np.float32)
-        jitter_labels = np.full((n_jitter, B, L), self.charmap.pad_id, np.int32)
-        jitter_lengths = np.zeros((n_jitter, B), np.int32)
+        jitter_labels = np.full((n_jitter, Bl, L), self.charmap.pad_id,
+                                np.int32)
+        jitter_lengths = np.zeros((n_jitter, Bl), np.int32)
         for i in range(n_jitter):
             noisy = self._noise(sel_imgs)
             res = self.ocr.query(noisy)
@@ -524,11 +631,12 @@ class TrainNNPrepArea:
             jitter_lengths[i, sel_rows] = res.lengths
 
         self.crnn_state, loss = self._patch_steps.phase_a(
-            self.crnn_state, img_preds, jnp.asarray(bb_mask),
-            jnp.asarray(hist_labels), jnp.asarray(hist_lengths),
-            jnp.asarray(hist_valid), loss_weights,
-            jnp.asarray(jitter_images), jnp.asarray(jitter_labels),
-            jnp.asarray(jitter_lengths),
+            self.crnn_state, img_preds, self._dev(bb_mask),
+            self._dev(hist_labels), self._dev(hist_lengths),
+            self._dev(hist_valid), loss_weights,
+            self._dev(jitter_images, dim=1),
+            self._dev(jitter_labels, dim=1),
+            self._dev(jitter_lengths, dim=1),
             decaying=(cfg.weightgen_method == "decaying"),
             inner_limit_skip=cfg.inner_limit_skip)
         self._last_crnn_loss = float(loss)
@@ -544,54 +652,51 @@ class TrainNNPrepArea:
     def _validate(self):
         cfg = self.cfg
         B = cfg.batch_size
-        L = self.charmap.max_len
         agg = dict(crnn_crt=0.0, crnn_cer=0.0, ocr_crt=0.0, ocr_cer=0.0,
                    match_crt=0.0, match_cer=0.0, loss=0.0)
         count = 0
-        for batch in batch_iterator(
-                self.val_ds, B, partial(collate_words, charmap=self.charmap),
-                shuffle=False, drop_last=False,
-                num_workers=default_num_workers(), prefetch=2):
-            # score EVERY val sample: the tail batch is padded to the
-            # compiled shape and masked out. DELIBERATE deviation from the
-            # reference, which builds its val loader with drop_last=True
-            # (train_nn_area.py:137) yet divides by the FULL val_set_size
-            # (:347) — the dropped tail silently counts as wrong, deflating
-            # its area metrics whenever val_size % batch_size != 0. We score
-            # what we divide by (see PARITY.md, reference-defects note).
-            real = batch.images.shape[0]
-            batch = pad_wordbatch(batch, B)
-            mask = np.arange(B) < real
-            img_out, dec, dec_len, loss = self.steps.val_forward(
-                self._eval_prep_state(), self.crnn_state,
-                jnp.asarray(batch.images),
-                jnp.asarray(batch.labels), jnp.asarray(batch.lengths),
-                jnp.asarray(mask))
-            # OCR only the real rows (keeps the val query count exact)
-            res = self.ocr.query(np.asarray(img_out)[:real])
-            ocr_labels = np.zeros((B, res.labels.shape[1]), res.labels.dtype)
-            ocr_labels[:real] = res.labels
-            ocr_lengths = np.zeros((B,), res.lengths.dtype)
-            ocr_lengths[:real] = res.lengths
-            ocr_labels = jnp.asarray(ocr_labels)
-            ocr_lengths = jnp.asarray(ocr_lengths)
-            gt = jnp.asarray(batch.labels)
-            gt_len = jnp.asarray(batch.lengths)
-            mask_dev = jnp.asarray(mask)
-            dec_c, dec_l = dec[:, :L], jnp.minimum(dec_len, L)
-            crt, cer, _ = self._compare(dec_c, dec_l, gt, gt_len, mask_dev)
-            t_crt, t_cer, _ = self._compare(
-                ocr_labels, ocr_lengths, gt, gt_len, mask_dev)
-            m_crt, m_cer, _ = self._compare(
-                dec_c, dec_l, ocr_labels, ocr_lengths, mask_dev)
-            agg["crnn_crt"] += float(crt); agg["crnn_cer"] += float(cer)
-            agg["ocr_crt"] += float(t_crt); agg["ocr_cer"] += float(t_cer)
-            agg["match_crt"] += float(m_crt); agg["match_cer"] += float(m_cer)
-            # batch loss is a masked mean over the batch's real samples;
-            # x real recovers the per-sample sum so the padded tail batch
-            # carries proportional (not equal-batch) weight
-            agg["loss"] += float(loss) * real
-            count += real
+        if self._pc == 1:
+            for batch in batch_iterator(
+                    self.val_ds, B,
+                    partial(collate_words, charmap=self.charmap),
+                    shuffle=False, drop_last=False,
+                    num_workers=default_num_workers(), prefetch=2):
+                # score EVERY val sample: the tail batch is padded to the
+                # compiled shape and masked out. DELIBERATE deviation from
+                # the reference, which builds its val loader with
+                # drop_last=True (train_nn_area.py:137) yet divides by the
+                # FULL val_set_size (:347) — the dropped tail silently
+                # counts as wrong, deflating its area metrics whenever
+                # val_size % batch_size != 0. We score what we divide by
+                # (see PARITY.md, reference-defects note).
+                real = batch.images.shape[0]
+                batch = pad_wordbatch(batch, B)
+                mask = np.arange(B) < real
+                count += self._validate_batch(batch, mask, agg)
+        else:
+            # multi-process: each global window of B val crops is split
+            # into per-host Bl slices; hosts whose slice is empty feed an
+            # all-padding batch so the jitted lockstep holds. Metrics come
+            # out of GLOBAL masked reductions — every host returns
+            # identical numbers (patch-trainer parity).
+            from qea_ocr_tpu.data.pipeline import blank_wordbatch
+            Bl = self._bl
+            collate = partial(collate_words, charmap=self.charmap)
+            template = None
+            for start in range(0, len(self.val_ds), B):
+                window = np.arange(start, min(start + B, len(self.val_ds)))
+                local_idx = window[self._pi * Bl:(self._pi + 1) * Bl]
+                samples = [self.val_ds[int(i)] for i in local_idx]
+                if samples:
+                    batch = pad_wordbatch(collate(samples), Bl)
+                    template = batch
+                else:
+                    if template is None:
+                        template = pad_wordbatch(
+                            collate([self.val_ds[0]]), Bl)
+                    batch = blank_wordbatch(template, Bl)
+                mask = np.arange(Bl) < len(samples)
+                count += self._validate_batch(batch, mask, agg)
         n = max(1, count)
         return dict(
             crnn_acc=agg["crnn_crt"] / n, ocr_acc=agg["ocr_crt"] / n,
@@ -599,17 +704,68 @@ class TrainNNPrepArea:
             ocr_cer=agg["ocr_cer"] / n, match_cer=agg["match_cer"] / n,
             loss=agg["loss"] / n)
 
+    def _validate_batch(self, batch, mask, agg) -> int:
+        """Score one (local) validation batch into `agg`; `batch`/`mask`
+        hold this host's rows, reductions run on the assembled global
+        arrays. Returns the GLOBAL real-sample count of the window."""
+        L = self.charmap.max_len
+        mask_dev = self._dev(mask)
+        img_out, dec, dec_len, loss = self.steps.val_forward(
+            self._eval_prep_state(), self.crnn_state,
+            self._put_images(batch.images),
+            self._dev(batch.labels), self._dev(batch.lengths), mask_dev)
+        # OCR only this host's real rows (keeps the val query count exact)
+        real = int(mask.sum())
+        Bl = len(mask)
+        preds_np = self._fetch_rows(img_out)
+        res = self.ocr.query(preds_np[:real]) if real else None
+        width = res.labels.shape[1] if res is not None else L
+        ocr_labels = np.zeros((Bl, width), np.int32)
+        ocr_lengths = np.zeros((Bl,), np.int32)
+        if res is not None:
+            ocr_labels[:real] = res.labels
+            ocr_lengths[:real] = res.lengths
+        ocr_labels = self._dev(ocr_labels)
+        ocr_lengths = self._dev(ocr_lengths)
+        gt = self._dev(batch.labels)
+        gt_len = self._dev(batch.lengths)
+        dec_c, dec_l = dec[:, :L], jnp.minimum(dec_len, L)
+        crt, cer, _ = self._compare(dec_c, dec_l, gt, gt_len, mask_dev)
+        t_crt, t_cer, _ = self._compare(
+            ocr_labels, ocr_lengths, gt, gt_len, mask_dev)
+        m_crt, m_cer, _ = self._compare(
+            dec_c, dec_l, ocr_labels, ocr_lengths, mask_dev)
+        real_global = int(jnp.sum(mask_dev))
+        agg["crnn_crt"] += float(crt); agg["crnn_cer"] += float(cer)
+        agg["ocr_crt"] += float(t_crt); agg["ocr_cer"] += float(t_cer)
+        agg["match_crt"] += float(m_crt); agg["match_cer"] += float(m_cer)
+        # batch loss is a masked mean over the window's real samples;
+        # x real recovers the per-sample sum so the padded tail window
+        # carries proportional (not equal-batch) weight
+        agg["loss"] += float(loss) * real_global
+        return real_global
+
     def _save_side_jsons(self, epoch):
+        # History/selection/CER side-state is host-LOCAL (crops are pinned
+        # to hosts): under multiple processes each host writes its own
+        # shard, suffixed .pN (patch-trainer convention, utils/io.py
+        # resolve_side_shard).
+        sfx = f".p{self._pi}" if self._pc > 1 else ""
+
+        def _p(dirname, name):
+            base, ext = os.path.splitext(name)
+            return os.path.join(dirname, base + sfx + ext)
+
         self.history.save_json(
-            os.path.join(self.dirs.tracked_labels, f"tracked_labels_{epoch}.json"),
+            _p(self.dirs.tracked_labels, f"tracked_labels_{epoch}.json"),
             dict(enumerate(self.train_ds.names)))
         self.history.save_json(
-            os.path.join(self.dirs.tracked_labels, "tracked_labels_current.json"),
+            _p(self.dirs.tracked_labels, "tracked_labels_current.json"),
             dict(enumerate(self.train_ds.names)))
         save_json(self.selected_samples,
-                  os.path.join(self.dirs.selected_samples,
-                               "selected_samples_current.json"))
-        save_json(self.all_cers, os.path.join(self.dirs.cers, "all_cers.json"))
+                  _p(self.dirs.selected_samples,
+                     "selected_samples_current.json"))
+        save_json(self.all_cers, _p(self.dirs.cers, "all_cers.json"))
 
     def _maybe_optuna(self, accuracy, epoch):
         trial = self.cfg.optuna_trial

@@ -10,6 +10,13 @@ update, non-finite-gradient scrubbing — the functional replacement for the
 reference's NaN backward hook, `model_crnn.py:30-32`) and one jitted eval
 step (decode + device CER). The black-box boundary is the host OCR call per
 batch; everything else stays on device.
+
+Scaling (TPU-native; the reference's only multi-GPU artifact is a dormant
+`nn.DataParallel`, `model_crnn.py:11-12`): `data_parallel=True` replicates
+the model/optimizer state over a 1-D `data` mesh and shards the crop batch
+on the word axis — XLA partitions the same jitted steps and inserts the
+gradient psum. Multi-process: `batch_size` is the GLOBAL batch, crops are
+pinned per host, each host OCRs only its own rows.
 """
 
 from __future__ import annotations
@@ -63,6 +70,10 @@ class CrnnTrainerConfig:
     synthetic_val_size: int = 64
     corruption: Optional[dict] = None
     log_dir: Optional[str] = None
+    # TPU-native additions
+    data_parallel: bool = False  # shard the crop batch over all devices
+                                 # (GSPMD 1-D `data` mesh, state replicated;
+                                 # multi-process: batch pinned per host)
 
 
 def scrub_nonfinite(tree):
@@ -115,9 +126,48 @@ class TrainCRNN:
             from qea_ocr_tpu.utils.io import load_checkpoint
             self.state = load_checkpoint(cfg.ckpt_path, self.state)
 
-        self.logger = MetricsLogger(cfg.log_dir)
+        # Optional GSPMD data parallelism (see module docstring).
+        self.mesh = None
+        if cfg.data_parallel:
+            from qea_ocr_tpu.parallel import make_mesh, put_replicated
+            self.mesh = make_mesh()
+            n_dev = len(self.mesh.devices.flat)
+            if cfg.batch_size % n_dev:
+                raise ValueError(
+                    f"batch_size={cfg.batch_size} must be a multiple of the "
+                    f"device count {n_dev} for data_parallel mode")
+            self.state = put_replicated(self.state, self.mesh)
+        self._pc = jax.process_count() if self.mesh is not None else 1
+        self._pi = jax.process_index() if self.mesh is not None else 0
+        if self._pc > 1 and cfg.batch_size % self._pc:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must be a multiple of the "
+                f"process count {self._pc}")
+        self._bl = cfg.batch_size // self._pc  # local crops per step
+        from qea_ocr_tpu.parallel import pinned_subset
+        self._local_train_indices = pinned_subset(
+            np.arange(len(self.train_ds)), self._pi, self._pc)
+
+        self.logger = MetricsLogger(cfg.log_dir if self._pi == 0 else None)
         self.timer = StepTimer()
         self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _dev(self, x):
+        """Batch-array device placement: plain `jnp.asarray` under one
+        process, global-array assembly from local rows under many."""
+        if self._pc == 1:
+            return jnp.asarray(x)
+        from qea_ocr_tpu.parallel import global_from_local
+        return global_from_local(x, self.mesh)
+
+    def _put_images(self, images: np.ndarray):
+        """Crop-batch placement: explicitly `P(data)`-sharded under a mesh
+        (multi-host-safe), plain device array otherwise."""
+        if self.mesh is None:
+            return jnp.asarray(images)
+        from qea_ocr_tpu.parallel import put_batch_global
+        return put_batch_global(images, self.mesh)
 
     # ------------------------------------------------------------------
     def _build_steps(self):
@@ -140,13 +190,17 @@ class TrainCRNN:
             return new_state, loss
 
         @jax.jit
-        def eval_step(state: ModelState, images, labels, lengths):
+        def eval_step(state: ModelState, images, labels, lengths, mask):
+            """`mask` excludes padding rows (tail batches are padded to the
+            compiled shape so every val sample is scored — and, under DP,
+            so the sharded batch keeps its static shape)."""
             scores = model.apply(state.variables, images, train=False)
-            loss = ctc_loss_mean(scores, labels, lengths, pad_id=cm.pad_id)
+            loss = ctc_loss_mean(scores, labels, lengths, pad_id=cm.pad_id,
+                                 sample_mask=mask)
             dec, dec_len = greedy_decode(scores, pad_id=cm.pad_id)
             crt, cer_sum, _ = compare_labels_device(
                 dec[:, : cm.max_len], jnp.minimum(dec_len, cm.max_len),
-                labels, lengths)
+                labels, lengths, mask)
             return loss, crt, cer_sum, dec, dec_len
 
         self._train_step = train_step
@@ -185,18 +239,21 @@ class TrainCRNN:
                 self.state, step_lr(cfg.lr, epoch, cfg.decay_step, cfg.decay))
             training_loss, steps = 0.0, 0
             for batch in batch_iterator(
-                    self.train_ds, cfg.batch_size,
+                    self.train_ds, self._bl,
                     partial(collate_words, charmap=self.charmap),
                     seed=cfg.random_seed, epoch=epoch,
+                    indices=self._local_train_indices,
                     num_workers=default_num_workers(), prefetch=2):
                 with self.timer.time("noise"):
                     noisy = self._noise(batch.images)
                 with self.timer.time("ocr"):
+                    # each host OCRs only its own pinned rows; the global
+                    # batch is assembled from the per-host label shards
                     labels, lengths = self._labels_for(batch, noisy)
                 with self.timer.time("device_step"):
                     self.state, loss = self._train_step(
-                        self.state, jnp.asarray(noisy),
-                        jnp.asarray(labels), jnp.asarray(lengths))
+                        self.state, self._put_images(noisy),
+                        self._dev(labels), self._dev(lengths))
                 training_loss += float(loss)
                 steps += 1
 
@@ -222,25 +279,74 @@ class TrainCRNN:
         return best_val_acc, best_val_epoch
 
     def _validate(self):
-        total_loss, crt_total, cer_total, n = 0.0, 0.0, 0.0, 0
-        nb = 0
-        for batch in batch_iterator(
-                self.val_ds, self.cfg.batch_size,
-                partial(collate_words, charmap=self.charmap),
-                shuffle=False, drop_last=False):
-            labels, lengths = batch.labels, batch.lengths
-            if self.ocr is not None:
-                res = self.ocr.query(batch.images)
-                labels, lengths = res.labels, res.lengths
-            loss, crt, cer_sum, _, _ = self._eval_step(
-                self.state, jnp.asarray(batch.images),
-                jnp.asarray(labels), jnp.asarray(lengths))
-            total_loss += float(loss)
-            crt_total += float(crt)
-            cer_total += float(cer_sum)
-            n += batch.images.shape[0]
-            nb += 1
-        return total_loss / max(1, nb), crt_total, cer_total, n
+        """Score EVERY val sample: tail batches are padded to the compiled
+        shape and masked (same deliberate deviation as the area trainer —
+        the reference's val loader drops the tail yet divides by the full
+        set size, `train_crnn.py:162-199`). Multi-process: each global
+        window of B crops is split into per-host slices; empty slices feed
+        an all-padding batch so the jitted lockstep holds, and metrics come
+        out of GLOBAL masked reductions (identical on every host)."""
+        from qea_ocr_tpu.data.pipeline import blank_wordbatch, pad_wordbatch
+        B = self.cfg.batch_size
+        agg = dict(loss=0.0, crt=0.0, cer=0.0)
+        n = 0
+        if self._pc == 1:
+            for batch in batch_iterator(
+                    self.val_ds, B,
+                    partial(collate_words, charmap=self.charmap),
+                    shuffle=False, drop_last=False):
+                real = batch.images.shape[0]
+                batch = pad_wordbatch(batch, B)
+                mask = np.arange(B) < real
+                n += self._validate_batch(batch, mask, agg)
+        else:
+            Bl = self._bl
+            collate = partial(collate_words, charmap=self.charmap)
+            template = None
+            for start in range(0, len(self.val_ds), B):
+                window = np.arange(start, min(start + B, len(self.val_ds)))
+                local_idx = window[self._pi * Bl:(self._pi + 1) * Bl]
+                samples = [self.val_ds[int(i)] for i in local_idx]
+                if samples:
+                    batch = pad_wordbatch(collate(samples), Bl)
+                    template = batch
+                else:
+                    if template is None:
+                        template = pad_wordbatch(
+                            collate([self.val_ds[0]]), Bl)
+                    batch = blank_wordbatch(template, Bl)
+                mask = np.arange(Bl) < len(samples)
+                n += self._validate_batch(batch, mask, agg)
+        return agg["loss"] / max(1, n), agg["crt"], agg["cer"], n
+
+    def _validate_batch(self, batch, mask, agg) -> int:
+        """Score one (local) window slice into `agg`; returns the GLOBAL
+        real-sample count. OCR (when configured) sees only this host's
+        real rows, keeping the black-box query count exact."""
+        real = int(mask.sum())
+        Bl = len(mask)
+        labels, lengths = batch.labels, batch.lengths
+        if self.ocr is not None:
+            width = labels.shape[1]
+            ocr_labels = np.zeros((Bl, width), np.int32)
+            ocr_lengths = np.zeros((Bl,), np.int32)
+            if real:
+                res = self.ocr.query(batch.images[:real])
+                w = min(width, res.labels.shape[1])
+                ocr_labels[:real, :w] = res.labels[:, :w]
+                ocr_lengths[:real] = np.minimum(res.lengths, width)
+            labels, lengths = ocr_labels, ocr_lengths
+        mask_dev = self._dev(mask)
+        loss, crt, cer_sum, _, _ = self._eval_step(
+            self.state, self._put_images(batch.images),
+            self._dev(labels), self._dev(lengths), mask_dev)
+        real_global = int(jnp.sum(mask_dev))
+        # masked-mean loss x real recovers the per-sample sum so padded
+        # tail windows carry proportional weight in the epoch average
+        agg["loss"] += float(loss) * real_global
+        agg["crt"] += float(crt)
+        agg["cer"] += float(cer_sum)
+        return real_global
 
     def _save(self, epoch: int, acc: float):
         path = f"{self.cfg.crnn_model_path}_{epoch}_{acc * 100:.2f}"

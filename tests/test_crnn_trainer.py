@@ -56,13 +56,14 @@ class TestTrainCRNN:
         from qea_ocr_tpu.data.pipeline import collate_words
         batch = collate_words(
             [trainer.val_ds[i] for i in range(4)], trainer.charmap)
+        mask = jnp.ones((4,), bool)
         l1, c1, s1, d1, _ = trainer._eval_step(
             trainer.state, jnp.asarray(batch.images),
-            jnp.asarray(batch.labels), jnp.asarray(batch.lengths))
+            jnp.asarray(batch.labels), jnp.asarray(batch.lengths), mask)
         # note: trainer.state is the LAST state; checkpoint may be earlier.
         l2, c2, s2, d2, _ = trainer._eval_step(
             restored, jnp.asarray(batch.images),
-            jnp.asarray(batch.labels), jnp.asarray(batch.lengths))
+            jnp.asarray(batch.labels), jnp.asarray(batch.lengths), mask)
         assert np.isfinite(float(l2))
 
     def test_gt_label_path_no_ocr(self, tmp_path):
