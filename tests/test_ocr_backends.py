@@ -4,9 +4,12 @@ The real engines are absent from this image, so these tests run the
 backends' ACTUAL code paths (thread-local PyTessBaseAPI pooling, PSM/OEM
 configuration, PIL conversion, readtext kwargs, label normalization,
 concurrent budget accounting) against behaviorally-faithful stub engine
-modules injected into sys.modules. A separate golden-replay test runs the
-same assertions against the real engines wherever they exist (recorded
-fixtures via tools/record_ocr_golden.py), and is skipped here.
+modules (`qea_ocr_tpu/ocr/stub_engines.py`) injected into sys.modules.
+The golden-replay tests at the bottom replay the committed fixtures
+(`tools/record_ocr_golden.py`): stub-contract fixtures
+(engine_kind="stub", shipped in-repo) replay here against the stubs —
+pinning the backends' full normalization pipeline against committed
+bytes — and real-engine fixtures replay wherever the engine exists.
 
 Reference semantics: `ocr_helper/tess_helper.py:10-44`,
 `ocr_helper/eocr_helper.py:11-52`.
@@ -16,55 +19,23 @@ import importlib
 import os
 import sys
 import threading
-import types
 
 import numpy as np
 import pytest
 
 from qea_ocr_tpu.data.synth import make_word_crop, render_text_strip
+from qea_ocr_tpu.ocr.stub_engines import (
+    StubReader as _StubReader,
+    StubTessApi as _StubApi,
+    make_stub_easyocr,
+    make_stub_tesserocr,
+)
 
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "ocr_golden")
 
 
-# ---------------------------------------------------------------------------
-# stub tesserocr: recognizes synthetic bitmap-font strips via the same
-# template matching FakeOCR uses, so recognition is deterministic and the
-# backend's plumbing (not the engine) is what's under test.
-# ---------------------------------------------------------------------------
-class _StubApi:
-    created = []          # (thread_name, kwargs) per constructed handle
-    lock = threading.Lock()
-
-    def __init__(self, **kwargs):
-        with _StubApi.lock:
-            _StubApi.created.append(
-                (threading.current_thread().name, dict(kwargs)))
-        self.kwargs = kwargs
-        self._img = None
-        self._owner = threading.get_ident()
-        self._busy = False
-
-    def SetImage(self, pil_img):
-        # a persistent handle is not thread-safe: flag concurrent reuse
-        assert not self._busy, "PyTessBaseAPI handle used concurrently"
-        self._img = pil_img
-
-    def GetUTF8Text(self):
-        self._busy = True
-        try:
-            from qea_ocr_tpu.ocr.fake import FakeOcrBackend
-            arr = np.asarray(self._img, dtype=np.float32) / 255.0
-            return FakeOcrBackend()._recognize(arr) + "\n"
-        finally:
-            self._busy = False
-
-
 def _install_stub_tesserocr(monkeypatch):
-    stub = types.ModuleType("tesserocr")
-    stub.PyTessBaseAPI = _StubApi
-    stub.PSM = types.SimpleNamespace(SINGLE_LINE="psm7", SINGLE_BLOCK="psm6")
-    stub.OEM = types.SimpleNamespace(LSTM_ONLY="oem1")
-    monkeypatch.setitem(sys.modules, "tesserocr", stub)
+    monkeypatch.setitem(sys.modules, "tesserocr", make_stub_tesserocr())
     import qea_ocr_tpu.ocr.tesseract as mod
     importlib.reload(mod)
     assert mod.HAVE_TESSEROCR
@@ -150,28 +121,9 @@ class TestTesseractBackend:
 # ---------------------------------------------------------------------------
 # stub easyocr
 # ---------------------------------------------------------------------------
-class _StubReader:
-    init_args = None
-    last_kwargs = None
-
-    def __init__(self, langs, gpu=True):
-        _StubReader.init_args = (langs, gpu)
-
-    def readtext(self, arr, **kwargs):
-        _StubReader.last_kwargs = kwargs
-        from qea_ocr_tpu.ocr.fake import FakeOcrBackend
-        img = np.asarray(arr, dtype=np.float32)
-        if img.max() > 1.5:
-            img = img / 255.0
-        text = FakeOcrBackend()._recognize(img)
-        return [text] if text else []
-
-
 @pytest.fixture
 def eocr_mod(monkeypatch):
-    stub = types.ModuleType("easyocr")
-    stub.Reader = _StubReader
-    monkeypatch.setitem(sys.modules, "easyocr", stub)
+    monkeypatch.setitem(sys.modules, "easyocr", make_stub_easyocr())
     import qea_ocr_tpu.ocr.easyocr_backend as mod
     importlib.reload(mod)
     yield mod
@@ -199,22 +151,57 @@ class TestEasyOcrBackend:
 
 
 # ---------------------------------------------------------------------------
-# golden replay against the REAL engines (skipped where absent)
+# golden replay (tools/record_ocr_golden.py fixtures). Stub-contract
+# fixtures (engine_kind="stub", committed in-repo) replay in THIS image;
+# real-engine fixtures replay wherever the engine exists.
 # ---------------------------------------------------------------------------
-def _golden(path):
-    f = os.path.join(FIXTURE_DIR, path)
-    return f if os.path.exists(f) else None
+def _load_golden(name):
+    f = os.path.join(FIXTURE_DIR, name)
+    if not os.path.exists(f):
+        pytest.skip(f"no recorded golden fixture {name}")
+    data = np.load(f, allow_pickle=True)
+    kind = str(data["engine_kind"]) if "engine_kind" in data else "real"
+    return data, kind
 
 
-@pytest.mark.skipif(
-    importlib.util.find_spec("tesserocr") is None
-    or _golden("tesseract.npz") is None,
-    reason="real tesserocr or recorded golden fixtures unavailable")
-def test_tesseract_golden_replay():
-    """On a machine with tesserocr: the backend must reproduce the recorded
-    engine outputs (tools/record_ocr_golden.py) for the shipped strips."""
-    from qea_ocr_tpu.ocr.tesseract import TesseractBackend
-    data = np.load(_golden("tesseract.npz"), allow_pickle=True)
-    be = TesseractBackend(num_threads=4)
-    labels = be.get_labels(data["images"])
-    assert labels == list(data["labels"])
+def test_tesseract_golden_replay(monkeypatch):
+    """The backend must reproduce the recorded engine outputs for the
+    shipped strips, byte-for-byte — any change to the get_labels pipeline
+    (PIL conversion, empty->EMPTY_CHAR, normalization, length caps) fails
+    replay. Stub fixtures replay against `ocr/stub_engines.py`; a
+    real-engine fixture requires tesserocr."""
+    data, kind = _load_golden("tesseract.npz")
+    if kind == "stub":
+        mod = _install_stub_tesserocr(monkeypatch)
+    else:
+        if importlib.util.find_spec("tesserocr") is None:
+            pytest.skip("fixture was recorded on a real tesserocr")
+        import qea_ocr_tpu.ocr.tesseract as mod
+    try:
+        be = mod.TesseractBackend(num_threads=4)
+        labels = be.get_labels(data["images"])
+        assert labels == [str(x) for x in data["labels"]]
+    finally:
+        if kind == "stub":
+            sys.modules.pop("tesserocr", None)
+            importlib.reload(mod)
+
+
+def test_easyocr_golden_replay(monkeypatch):
+    data, kind = _load_golden("easyocr.npz")
+    if kind == "stub":
+        monkeypatch.setitem(sys.modules, "easyocr", make_stub_easyocr())
+        import qea_ocr_tpu.ocr.easyocr_backend as mod
+        importlib.reload(mod)
+    else:
+        if importlib.util.find_spec("easyocr") is None:
+            pytest.skip("fixture was recorded on a real easyocr")
+        import qea_ocr_tpu.ocr.easyocr_backend as mod
+    try:
+        be = mod.EasyOcrBackend()
+        labels = be.get_labels(data["images"])
+        assert labels == [str(x) for x in data["labels"]]
+    finally:
+        if kind == "stub":
+            sys.modules.pop("easyocr", None)
+            importlib.reload(mod)
