@@ -56,7 +56,11 @@ def profile_step(D=96, S=16):
     doc_size = C.DOC_SIZE
     cm = CharMap.default()
     L, W, N = cm.max_len, 1, D * S
-    prep = UNet(mxu_packed=default_mxu_packed())
+    # production layout split: grad path pinned XLA NHWC, no-grad forwards
+    # resolve `auto` (= xla unless QEA_CONV_IMPL=cmajor) — see
+    # train/patch_steps.make_steps
+    prep = UNet(mxu_packed=default_mxu_packed(), conv_impl="xla")
+    prep_eval = UNet(mxu_packed=default_mxu_packed())
     crnn = CRNN(vocab_size=cm.vocab_size)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     prep_state = ModelState.create(
@@ -65,7 +69,7 @@ def profile_step(D=96, S=16):
     crnn_state = ModelState.create(
         crnn.init(k2, jnp.zeros((1, 1, *C.INPUT_SIZE)), train=False),
         adam_l2(1e-4, 5e-4))
-    steps = make_steps(prep, crnn, cm)
+    steps = make_steps(prep, crnn, cm, prep_eval_model=prep_eval)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((D, 1, *doc_size), dtype=np.float32))

@@ -17,8 +17,23 @@ checkpoints are interchangeable:
     batch sizes, opt-in via `QEA_MXU_PACKED=1`;
   * channel-major padded-flat Pallas blocks (`ops/pallas/conv_cmajor.py`)
     — the implicit-GEMM kernel that puts the full image plane on the
-    128-lane axis; selected via `QEA_CONV_IMPL=auto|cmajor|xla` (`auto`
-    picks it on a single-device TPU backend at supported shapes).
+    128-lane axis; OPT-IN via `QEA_CONV_IMPL=cmajor` (`auto` resolves to
+    XLA — see below).
+
+Why cmajor is opt-in, not default (both directions measured on a v5e,
+D=96, (400,512) docs):
+  * integrated FORWARD: 204.8 ms vs XLA's 82.0 ms — the kernel's isolated
+    1.6-2.7x per-conv win is swamped because XLA cannot fuse the
+    interleaved BN/ReLU elementwise chains into a custom-call; each such
+    op becomes a full HBM round trip over the (D,C,(H+2)W) flat
+    activations, where the nn.Conv path gets them fused into the conv for
+    free.
+  * GRAD at document batches: OOM — the fused training step needs 27.6G
+    of 15.75G HBM (saved padded-flat activations for every conv plus XLA
+    layout copies at the custom-call boundaries), so even under the
+    opt-in the trainers/bench construct the grad-path UNet with
+    conv_impl="xla" and route the opt-in through a param-compatible twin
+    for the no-grad forwards only (`train/patch_steps.make_steps`).
 """
 
 from __future__ import annotations
@@ -370,22 +385,27 @@ def cmajor_supported(height: int, width: int, init_features: int) -> bool:
 def resolve_conv_impl(conv_impl: str, height: int, width: int,
                       init_features: int) -> str:
     """`auto` (per `QEA_CONV_IMPL`, read at trace time like
-    `QEA_GATHER_IMPL`) resolves to the channel-major Pallas path on a
-    single-device TPU backend at supported shapes; multi-device meshes fall
-    back to XLA (GSPMD cannot partition a pallas_call over the data axis)."""
+    `QEA_GATHER_IMPL`) resolves to XLA NHWC: the channel-major kernel wins
+    1.6-2.7x per isolated conv but LOSES integrated — the full eval
+    forward measured 204.8 ms vs 82.0 ms at D=96 on a v5e, because XLA
+    cannot fuse the interleaved BN/ReLU elementwise chains into a
+    custom-call, so every such op becomes its own HBM round trip over the
+    flat activations (benchmarks/RESULTS.md "Kernel-level notes"). The
+    kernel therefore stays opt-in (`QEA_CONV_IMPL=cmajor`), and the
+    trainers route even the opt-in to no-grad forwards only (its grad at
+    document batches OOMs; see the module docstring). Multi-device meshes
+    always fall back to XLA (GSPMD cannot partition the pallas_call over
+    the data axis)."""
     impl = conv_impl
     if impl == "auto":
         impl = os.environ.get("QEA_CONV_IMPL", "auto")
-    if impl == "xla":
+    if impl == "xla" or impl == "auto":
         return "xla"
-    ok = cmajor_supported(height, width, init_features)
-    if impl == "cmajor":
-        assert ok, (f"QEA_CONV_IMPL=cmajor unsupported for doc "
-                    f"{(height, width)} at f={init_features}")
-        return "cmajor"
-    if ok and jax.default_backend() == "tpu" and jax.device_count() == 1:
-        return "cmajor"
-    return "xla"
+    assert impl == "cmajor", f"unknown conv_impl {impl!r}"
+    assert cmajor_supported(height, width, init_features), (
+        f"QEA_CONV_IMPL=cmajor unsupported for doc "
+        f"{(height, width)} at f={init_features}")
+    return "cmajor"
 
 
 class UNet(nn.Module):
@@ -408,8 +428,10 @@ class UNet(nn.Module):
                               # channel-major padded-flat via the Pallas
                               # implicit-GEMM kernel; "xla" forces vanilla
                               # NHWC; "auto" defers to QEA_CONV_IMPL (trace-
-                              # time), picking cmajor on single-device TPU.
-                              # Checkpoint-compatible across all values.
+                              # time) and resolves to XLA unless =cmajor is
+                              # set (measured slower integrated — module
+                              # docstring). Checkpoint-compatible across
+                              # all values.
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:

@@ -44,9 +44,21 @@ bf16 MXU compute, f32 accumulation — same numerics as the XLA conv at
 bf16 inputs with preferred_element_type=f32.
 
 Used by `models/unet.py`'s channel-major UNet path (`FlatUNetBlock` /
-`CMUpconv`), selected via `QEA_CONV_IMPL=auto|cmajor|xla` — `auto`
-(default) picks this kernel on a single-device TPU backend at supported
-shapes. Off-TPU the kernel runs in Pallas interpret mode (tests).
+`CMUpconv`), OPT-IN via `QEA_CONV_IMPL=cmajor` (`auto` resolves to XLA).
+Off-TPU the kernel runs in Pallas interpret mode (tests).
+
+Integration verdict (measured, v5e, D=96): the isolated per-conv wins
+above do NOT survive the full model. The flat UNet eval forward measured
+204.8 ms vs XLA's 82.0 ms — XLA cannot fuse the interleaved BN/ReLU
+elementwise chains into a custom-call, so each becomes its own HBM round
+trip over the (D,C,(H+2)W) activations, while the nn.Conv path gets them
+fused into the conv epilogue for free; and differentiating the flat
+layout at document batches OOMs (27.6G vs 15.75G HBM — saved padded-flat
+activations plus custom-call layout copies). Recovering the win would
+require folding the BN/ReLU epilogues into this kernel (eval-mode BN is a
+pure scale+bias, so it is foldable — future work). Even under the opt-in,
+trainers route the kernel to NO-GRAD forwards only
+(`train/patch_steps.make_steps`'s `prep_eval_model`).
 Reference semantics: `models/model_unet.py:7-109` (3x3 SAME convs inside
 UNet._block).
 """

@@ -39,9 +39,19 @@ from qea_ocr_tpu.train.crnn_trainer import scrub_nonfinite
 
 
 def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
-               sec_loss_scalar=1.0):
+               sec_loss_scalar=1.0, prep_eval_model=None):
+    """`prep_eval_model`, when given, is a param-compatible twin of
+    `prep_model` used for the NO-GRAD UNet forwards (prep_extract,
+    val_forward). This is how alternate UNet compute layouts (e.g. the
+    opt-in `QEA_CONV_IMPL=cmajor` Pallas path) enter training without
+    touching the grad program — the cmajor grad at document batches OOMs
+    (27.6G vs 15.75G HBM at D=96: saved padded-flat activations +
+    custom-call layout copies), so only transient-activation forwards may
+    reroute. Checkpoints are layout-independent (same param tree for
+    every `conv_impl`)."""
     pad_id = charmap.pad_id
     max_len = charmap.max_len
+    prep_eval = prep_eval_model if prep_eval_model is not None else prep_model
 
     def _per_doc_loss(scores, flat_labels, flat_lengths, strip_mask, doc_out):
         """Reference bs=1 loss weighting, batched: each DOCUMENT contributes
@@ -72,7 +82,7 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
         """UNet eval fwd + strip gather. Returns (doc_out (D,1,H,W),
         strips (N,1,h,w)) with N = D*S; gradients NOT needed here (phase A
         treats prep as frozen, `train_nn_patch.py:227`)."""
-        doc_out = prep_model.apply(prep_state.variables, images, train=False)
+        doc_out = prep_eval.apply(prep_state.variables, images, train=False)
         strips = get_text_stack_batch(doc_out, bboxes, h_out, w_out)
         D, S = bboxes.shape[:2]
         strips = strips.reshape(D * S, 1, h_out, w_out)
@@ -245,7 +255,7 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
         and the prep loss (CTC(GT) + MSE) — reference `train_nn_patch.py:366-374`."""
         D, S = bboxes.shape[:2]
         N = D * S
-        doc_out = prep_model.apply(prep_state.variables, images, train=False)
+        doc_out = prep_eval.apply(prep_state.variables, images, train=False)
         strips = get_text_stack_batch(doc_out, bboxes, h_out, w_out)
         strips = strips.reshape(N, 1, h_out, w_out)
         scores = crnn_model.apply(crnn_state.variables, strips, train=False)

@@ -197,8 +197,18 @@ class TrainNNPrep:
 
         # ----------------------------------------------------------- models
         from qea_ocr_tpu.utils.platform import default_mxu_packed
+        # Grad path pins conv_impl="xla": the channel-major Pallas conv's
+        # BACKWARD at document batches OOMs (27.6G vs 15.75G HBM at D=96,
+        # measured — saved padded-flat activations + custom-call layout
+        # copies). The no-grad forwards (prep_extract, val_forward) use a
+        # param-compatible twin that resolves `auto` (QEA_CONV_IMPL) so an
+        # explicit =cmajor opt-in reroutes only transient-activation
+        # forwards. Checkpoints are identical across conv_impl values.
         self.prep_model = UNet(init_features=cfg.unet_features,
-                               mxu_packed=default_mxu_packed())
+                               mxu_packed=default_mxu_packed(),
+                               conv_impl="xla")
+        self.prep_eval_model = UNet(init_features=cfg.unet_features,
+                                    mxu_packed=default_mxu_packed())
         self.crnn_model = CRNN(vocab_size=self.charmap.vocab_size,
                                lstm_hidden=cfg.lstm_hidden)
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(cfg.random_seed), 3)
@@ -269,7 +279,8 @@ class TrainNNPrep:
 
         self.steps = make_steps(
             self.prep_model, self.crnn_model, self.charmap,
-            sec_loss_scalar=cfg.scalar)
+            sec_loss_scalar=cfg.scalar,
+            prep_eval_model=self.prep_eval_model)
 
         # Optional GSPMD data parallelism: replicate states, shard batches on
         # the document axis; XLA partitions the same jitted steps and inserts

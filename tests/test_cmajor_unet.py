@@ -124,9 +124,58 @@ def test_resolve_conv_impl():
     # production geometry at f=32
     assert cmajor_supported(400, 512, 32)
     assert cmajor_supported(512, 512, 32)
-    # explicit settings win; auto never picks cmajor off-TPU
+    # explicit settings win; auto always resolves xla (kernel is opt-in)
     assert resolve_conv_impl("xla", 16, 256, F) == "xla"
     assert resolve_conv_impl("cmajor", 16, 256, F) == "cmajor"
     assert resolve_conv_impl("auto", 16, 256, F) == "xla"  # CPU backend
     with pytest.raises(AssertionError):
         resolve_conv_impl("cmajor", 16, 192, F)
+
+
+def test_make_steps_prep_eval_model_parity():
+    """Production split (`train/patch_steps.make_steps(prep_eval_model=)`):
+    the no-grad forwards (prep_extract, val_forward) run through the eval
+    twin; outputs must match the single-model factory bit-for-layout-
+    tolerance, and the twin must share the grad model's params verbatim."""
+    from qea_ocr_tpu.models import CRNN
+    from qea_ocr_tpu.train.patch_steps import make_steps
+    from qea_ocr_tpu.train.state import ModelState, adam_l2
+    from qea_ocr_tpu.utils.charmap import CharMap
+
+    cm = CharMap.default()
+    H, W, D, S = 16, 256, 2, 2
+    vanilla = UNet(init_features=F, conv_impl="xla")
+    cmajor = UNet(init_features=F, conv_impl="cmajor")
+    crnn = CRNN(vocab_size=cm.vocab_size, lstm_hidden=16)
+    x = jnp.asarray(np.random.default_rng(1).random((D, 1, H, W),
+                                                    dtype=np.float32))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    prep_state = ModelState.create(
+        vanilla.init(k1, x[:1], train=False), adam_l2(1e-4, 0.0))
+    crnn_state = ModelState.create(
+        crnn.init(k2, jnp.zeros((1, 1, 32, 128)), train=False),
+        adam_l2(1e-4, 0.0))
+    bboxes = np.zeros((D, S, 4), np.int32)
+    bboxes[..., 2], bboxes[..., 3] = 64, 12      # x2,y2
+    bboxes = jnp.asarray(bboxes)
+
+    ref_steps = make_steps(vanilla, crnn, cm)
+    split_steps = make_steps(vanilla, crnn, cm, prep_eval_model=cmajor)
+    doc_ref, strips_ref = ref_steps.prep_extract(prep_state, x, bboxes)
+    doc_spl, strips_spl = split_steps.prep_extract(prep_state, x, bboxes)
+    assert doc_spl.shape == doc_ref.shape
+    np.testing.assert_allclose(np.asarray(doc_spl), np.asarray(doc_ref),
+                               atol=5e-2)   # bf16 MXU vs XLA rounding
+    np.testing.assert_allclose(np.asarray(strips_spl),
+                               np.asarray(strips_ref), atol=5e-2)
+
+    gt_labels = jnp.zeros((D, S, cm.max_len), jnp.int32)
+    gt_lengths = jnp.ones((D, S), jnp.int32)
+    strip_mask = jnp.ones((D, S), bool)
+    out_ref = ref_steps.val_forward(prep_state, crnn_state, x, bboxes,
+                                    strip_mask, gt_labels, gt_lengths)
+    out_spl = split_steps.val_forward(prep_state, crnn_state, x, bboxes,
+                                      strip_mask, gt_labels, gt_lengths)
+    np.testing.assert_allclose(np.asarray(out_spl[0]),
+                               np.asarray(out_ref[0]), atol=5e-2)
+    assert np.isfinite(float(out_spl[4]))
