@@ -79,6 +79,8 @@ class CRNN(nn.Module):
     lstm_layers: int = 2
     compute_dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    lstm_unroll: int = 1  # lax.scan unroll for the 31-step LSTMs
+                          # (param-tree invariant; purely a compile knob)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -96,6 +98,7 @@ class CRNN(nn.Module):
                     self.lstm_hidden,
                     dtype=self.compute_dtype, param_dtype=self.param_dtype,
                 ),
+                unroll=self.lstm_unroll,
                 name=f"lstm_fwd_{layer}",
             )(seq)
             bwd = nn.RNN(
@@ -103,7 +106,7 @@ class CRNN(nn.Module):
                     self.lstm_hidden,
                     dtype=self.compute_dtype, param_dtype=self.param_dtype,
                 ),
-                reverse=True, keep_order=True,
+                reverse=True, keep_order=True, unroll=self.lstm_unroll,
                 name=f"lstm_bwd_{layer}",
             )(seq)
             seq = jnp.concatenate([fwd, bwd], axis=-1)  # (B, T, 2*hidden)

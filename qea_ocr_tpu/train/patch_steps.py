@@ -110,15 +110,26 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
         def loss_fn(params):
             total = 0.0
             variables = {"params": params, "batch_stats": crnn_state.batch_stats}
-            if inner_limit_skip:
-                scores = crnn_model.apply(variables, strips, train=False)
-                total += weighted_ctc_loss(
-                    scores, hist_labels, hist_lengths, hist_valid,
-                    loss_weights, pad_id=pad_id, decaying=decaying)
+            # ONE batched CRNN apply over [history strips; all jitter
+            # copies]: phase A runs the proxy with frozen batch stats
+            # (train=False), so concatenating the 1+I inputs is numerically
+            # identical to separate applies while the LSTM scans and conv
+            # ladder run once at (1+I)N rows — fewer scan dispatches,
+            # fuller MXU tiles.
             I = jitter_images.shape[0]
+            N = strips.shape[0]
+            parts = ([strips] if inner_limit_skip else []) \
+                + [jitter_images[i] for i in range(I)]
+            scores_all = crnn_model.apply(
+                variables, jnp.concatenate(parts, axis=0), train=False)
+            k = 0
+            if inner_limit_skip:
+                total += weighted_ctc_loss(
+                    scores_all[:, :N], hist_labels, hist_lengths, hist_valid,
+                    loss_weights, pad_id=pad_id, decaying=decaying)
+                k = 1
             for i in range(I):
-                scores_i = crnn_model.apply(
-                    variables, jitter_images[i], train=False)
+                scores_i = scores_all[:, (k + i) * N:(k + i + 1) * N]
                 total += ctc_loss_mean(
                     scores_i, jitter_labels[i], jitter_lengths[i],
                     pad_id=pad_id, sample_mask=bb_mask)

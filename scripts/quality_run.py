@@ -64,6 +64,20 @@ WARM_SIZE = int(os.environ.get("WARM_SIZE", 4096))
 # roughly match the reference's optimizer-step count; the per-epoch
 # black-box query ledger is unchanged (budget is a per-batch fraction).
 BATCH_DOCS = int(os.environ.get("BATCH_DOCS", 8))
+# Large-batch recipe (measured, benchmarks/RESULTS.md "Production
+# batching"): batching D documents per step cuts optimizer steps/epoch by
+# D vs the reference's bs=1 loop at the SAME per-epoch black-box ledger.
+# LR scaling does NOT recover the lost steps on this pipeline — sqrt(8)
+# measured quality-neutral (80.5% vs 82.0%), linear x8 diverges — so the
+# recipe is EPOCH scaling: STEP_MATCH=1 (default) multiplies PATCH_EPOCHS
+# by BATCH_DOCS/2 so total optimizer steps match the step-matched
+# BATCH_DOCS=2 configuration; the per-epoch query ledger is unchanged
+# (budget is a per-batch fraction). LR_SCALE stays available for
+# experiments.
+LR_SCALE = float(os.environ.get("LR_SCALE", 1.0))
+LR_PREP = float(os.environ.get("LR_PREP", 5e-5)) * LR_SCALE
+LR_CRNN = float(os.environ.get("LR_CRNN", 1e-4)) * LR_SCALE
+STEP_MATCH = os.environ.get("STEP_MATCH", "1") not in ("0", "false")
 if SELECTION not in SELECTION_KEYS:
     raise SystemExit(f"unknown SELECTION {SELECTION!r} (one of {SELECTION_KEYS})")
 if WEIGHTGEN not in WEIGHTGEN_KEYS:
@@ -113,8 +127,15 @@ def main():
 
     # ---------------- 2. budget-aware patch training --------------------
     from qea_ocr_tpu.train.patch_trainer import PatchTrainerConfig, TrainNNPrep
+    patch_epochs = int(os.environ.get("PATCH_EPOCHS", 20))
+    if STEP_MATCH and BATCH_DOCS > 2:
+        patch_epochs = patch_epochs * BATCH_DOCS // 2
+        print(f"[recipe] STEP_MATCH: PATCH_EPOCHS scaled to {patch_epochs} "
+              f"(x{BATCH_DOCS // 2}) to hold optimizer steps at the "
+              f"BATCH_DOCS=2 reference count; per-epoch query ledger "
+              f"unchanged", flush=True)
     patch_cfg = PatchTrainerConfig(
-        epochs=int(os.environ.get("PATCH_EPOCHS", 20)),
+        epochs=patch_epochs,
         ocr="Fake", dataset="synthetic",
         synthetic_train_docs=TRAIN_DOCS, synthetic_val_docs=VAL_DOCS,
         synthetic_strips_per_doc=STRIPS_PER_DOC,
@@ -126,7 +147,7 @@ def main():
         weightgen_method=WEIGHTGEN, scalar=0.1,
         prep_pretrain_epochs=int(os.environ.get("PREP_PRETRAIN", 8)),
         prep_ema=float(os.environ.get("PREP_EMA", 0.0)),
-        lr_prep=5e-5, lr_crnn=1e-4,
+        lr_prep=LR_PREP, lr_crnn=LR_CRNN,
         crnn_model=crnn_ckpt,
         exp_base_path=os.path.join(OUT, "patch"))
     trainer = TrainNNPrep(patch_cfg)
