@@ -33,8 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("H", "W"),
                    help="processing canvas (default: config DOC_SIZE)")
     p.add_argument("--mxu_packed", action="store_true",
-                   help="space-to-depth packed conv layout — measured "
-                        "faster at serving batches 8-32 on TPU (ops/s2d.py)")
+                   help="force the space-to-depth packed conv layout "
+                        "(ops/s2d.py). Default: auto — packed on TPU when "
+                        "the per-device batch is in the measured 16-48 win "
+                        "window (+26%% docs/s at 32), vanilla otherwise; "
+                        "QEA_MXU_PACKED=0/1 also forces either way")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch over all local chips (params "
                         "replicated); batch_size rounds up to a device "

@@ -14,7 +14,8 @@ under XLA's NHWC lowering), all with IDENTICAL parameter names/shapes so
 checkpoints are interchangeable:
   * vanilla NHWC `nn.Conv` (always available, any backend/shape);
   * `mxu_packed` space-to-depth twins (`ops/s2d.py`) — wins at serving
-    batch sizes, opt-in via `QEA_MXU_PACKED=1`;
+    batch sizes; serving auto-selects it in the measured 16-48
+    per-device-batch window, `QEA_MXU_PACKED=0/1` forces either way;
   * channel-major padded-flat Pallas blocks (`ops/pallas/conv_cmajor.py`)
     — the implicit-GEMM kernel that puts the full image plane on the
     128-lane axis; OPT-IN via `QEA_CONV_IMPL=cmajor` (`auto` resolves to

@@ -30,7 +30,9 @@ deep ones, but inside the fully-fused UNet graph XLA recovers much of the
 gap at large batch. Measured end-to-end on a v5e: packed wins 1.27x at
 32-doc batches and ~7% at 8, loses at 1 (overhead) and at the 96-doc
 training sweet spot (4x nominal FLOPs dominate once vanilla reaches ~45%
-MFU). Hence opt-in (`QEA_MXU_PACKED=1`), not default — see
+MFU). Hence: training defaults vanilla; serving (which knows its fixed
+compiled batch) auto-packs inside the measured 16-48 per-device-batch win
+window on TPU; `QEA_MXU_PACKED` forces either way — see
 `utils/platform.py default_mxu_packed`.
 """
 

@@ -55,8 +55,16 @@ class DocumentCleaner:
         self.doc_size = tuple(doc_size)
         self.batch_size = int(batch_size)
         if mxu_packed is None:
+            # serving knows its fixed compiled batch, so the conv layout
+            # auto-selects from the measured win window (utils/platform.py:
+            # packed +26% at batch 32, wash at 8, loss at 96); training
+            # paths call default_mxu_packed() with no hint and stay vanilla.
             from qea_ocr_tpu.utils.platform import default_mxu_packed
-            mxu_packed = default_mxu_packed()
+            per_dev = self.batch_size
+            if data_parallel:
+                per_dev = max(1, -(-self.batch_size
+                                   // jax.local_device_count()))
+            mxu_packed = default_mxu_packed(batch_hint=per_dev)
         self.model = UNet(init_features=unet_features, mxu_packed=mxu_packed)
         variables = self.model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 1, *self.doc_size)),

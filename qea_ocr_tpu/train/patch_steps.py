@@ -23,6 +23,7 @@ quantity carries a mask. All functions are pure; trainers own the state.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from types import SimpleNamespace
 
@@ -36,6 +37,16 @@ from qea_ocr_tpu.ops.entropy import mean_sequence_entropy
 from qea_ocr_tpu.ops.text_stack import get_text_stack_batch
 from qea_ocr_tpu.tracking.loss import weighted_ctc_loss
 from qea_ocr_tpu.train.crnn_trainer import scrub_nonfinite
+
+
+def _phase_a_batch_rows() -> int:
+    """Max total strip rows (parts x N) for which phase A concatenates the
+    history + jitter parts into one CRNN apply. Above this, separate
+    applies (sequential activation reuse) keep the fused step inside HBM —
+    measured: 4608 batched rows overflow a v5e by 4.5G at D=96, while
+    quality-run batches (BATCH_DOCS<=32 -> <=1536 rows) fit comfortably.
+    Override per-run with QEA_PHASE_A_BATCH_ROWS (0 disables batching)."""
+    return int(os.environ.get("QEA_PHASE_A_BATCH_ROWS", "2048"))
 
 
 def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
@@ -110,28 +121,39 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
         def loss_fn(params):
             total = 0.0
             variables = {"params": params, "batch_stats": crnn_state.batch_stats}
-            # ONE batched CRNN apply over [history strips; all jitter
-            # copies]: phase A runs the proxy with frozen batch stats
-            # (train=False), so concatenating the 1+I inputs is numerically
-            # identical to separate applies while the LSTM scans and conv
-            # ladder run once at (1+I)N rows — fewer scan dispatches,
-            # fuller MXU tiles.
             I = jitter_images.shape[0]
             N = strips.shape[0]
             parts = ([strips] if inner_limit_skip else []) \
                 + [jitter_images[i] for i in range(I)]
-            scores_all = crnn_model.apply(
-                variables, jnp.concatenate(parts, axis=0), train=False)
+            # Phase A runs the proxy with frozen batch stats (train=False),
+            # so ONE batched CRNN apply over [history strips; all jitter
+            # copies] is numerically identical to separate applies while the
+            # LSTM scans and conv ladder run once at (1+I)N rows — fewer
+            # scan dispatches, fuller MXU tiles. BUT the batched apply holds
+            # every part's conv activations live at once under grad: at the
+            # D=96 production batch ((1+I)*1536 = 4608 rows) the fused-step
+            # program overflows v5e HBM by 4.5G (20.24G vs 15.75G). Past
+            # _phase_a_batch_rows() the parts therefore run as separate
+            # applies, which XLA schedules sequentially, reusing the
+            # activation buffers. Trace-time constant; no dynamic shapes.
+            if len(parts) * N <= _phase_a_batch_rows():
+                scores_all = crnn_model.apply(
+                    variables, jnp.concatenate(parts, axis=0), train=False)
+                # time-major (T, B, V): parts live on axis 1
+                part_scores = [scores_all[:, j * N:(j + 1) * N]
+                               for j in range(len(parts))]
+            else:
+                part_scores = [crnn_model.apply(variables, p, train=False)
+                               for p in parts]
             k = 0
             if inner_limit_skip:
                 total += weighted_ctc_loss(
-                    scores_all[:, :N], hist_labels, hist_lengths, hist_valid,
+                    part_scores[0], hist_labels, hist_lengths, hist_valid,
                     loss_weights, pad_id=pad_id, decaying=decaying)
                 k = 1
             for i in range(I):
-                scores_i = scores_all[:, (k + i) * N:(k + i + 1) * N]
                 total += ctc_loss_mean(
-                    scores_i, jitter_labels[i], jitter_lengths[i],
+                    part_scores[k + i], jitter_labels[i], jitter_lengths[i],
                     pad_id=pad_id, sample_mask=bb_mask)
             return total
 

@@ -61,18 +61,31 @@ def maybe_init_distributed() -> None:
     jax.distributed.initialize(**kwargs)
 
 
-def default_mxu_packed() -> bool:
+def default_mxu_packed(batch_hint: int | None = None) -> bool:
     """Resolve the UNet conv layout (see qea_ocr_tpu/ops/s2d.py).
 
     Measured on a v5e at (400, 512): the packed layout wins at mid batches
-    (D=32 forward: 42.8 ms vs 54.5 ms, 1.27x; D=8: 15.2 vs 16.3 ms) where
-    plain 32/64-channel convs underfill the MXU, but loses at D=1 (kernel
-    overhead) and at the D=96 training sweet spot (116 vs 82 ms — XLA's
-    tiling of the vanilla convs reaches ~45% MFU there and the packed
-    path's 4x nominal FLOPs dominate). Production training runs D=96, so
-    the default is OFF; opt in per-run with `QEA_MXU_PACKED=1` for
-    mid-batch serving/latency workloads."""
+    (D=32 forward: 42.8 ms vs 54.5 ms, 1.27x; end-to-end serving at batch
+    32: 16.4 vs 13.0 docs/s, +26%) where plain 32/64-channel convs
+    underfill the MXU, but loses at D=1 (kernel overhead) and at the D=96
+    training sweet spot (116 vs 82 ms — XLA's tiling of the vanilla convs
+    reaches ~45% MFU there and the packed path's 4x nominal FLOPs
+    dominate). Training therefore defaults OFF (no batch_hint). Serving
+    passes its fixed per-device batch as `batch_hint`, which turns packing
+    on inside the measured mid-batch win window on TPU. `QEA_MXU_PACKED`
+    forces either way."""
     env = os.environ.get("QEA_MXU_PACKED")
     if env is not None:
         return env.strip().lower() not in ("", "0", "false", "no", "off")
-    return False
+    if batch_hint is None:
+        return False
+    import jax
+    return _mxu_packed_for_batch(int(batch_hint),
+                                 jax.default_backend() == "tpu")
+
+
+def _mxu_packed_for_batch(batch: int, is_tpu: bool) -> bool:
+    """Pure decision core (unit-testable without a backend): pack for
+    mid-size per-device batches on TPU only. Window from the serve_bench
+    measurements above — win at 32, wash at 8, loss at 96."""
+    return is_tpu and 16 <= batch <= 48

@@ -111,7 +111,28 @@ def test_mxu_packed_env_parsing(monkeypatch):
         monkeypatch.setenv("QEA_MXU_PACKED", on)
         assert default_mxu_packed() is True, on
     monkeypatch.delenv("QEA_MXU_PACKED")
-    assert default_mxu_packed() is False  # vanilla is the measured default
+    assert default_mxu_packed() is False  # training default: no hint -> vanilla
+
+
+def test_mxu_packed_serving_batch_window(monkeypatch):
+    from qea_ocr_tpu.utils.platform import (
+        _mxu_packed_for_batch, default_mxu_packed)
+
+    # measured window: win at 32, wash at 8, loss at 96 (serve_bench)
+    assert _mxu_packed_for_batch(32, is_tpu=True)
+    assert _mxu_packed_for_batch(16, is_tpu=True)
+    assert _mxu_packed_for_batch(48, is_tpu=True)
+    assert not _mxu_packed_for_batch(8, is_tpu=True)
+    assert not _mxu_packed_for_batch(96, is_tpu=True)
+    assert not _mxu_packed_for_batch(32, is_tpu=False)  # CPU: never
+    # env forces either way, hint or not
+    monkeypatch.setenv("QEA_MXU_PACKED", "1")
+    assert default_mxu_packed(batch_hint=96) is True
+    monkeypatch.setenv("QEA_MXU_PACKED", "0")
+    assert default_mxu_packed(batch_hint=32) is False
+    monkeypatch.delenv("QEA_MXU_PACKED")
+    # on this (CPU) test platform the auto path resolves to vanilla
+    assert default_mxu_packed(batch_hint=32) is False
 
 
 def test_clean_docs_cli(prep_ckpt, doc_dir, tmp_path, capsys):
