@@ -224,8 +224,10 @@ class FlatConv3x3(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xf: jax.Array) -> jax.Array:
-        from qea_ocr_tpu.ops.pallas.conv_cmajor import conv_flat_vjp
+    def __call__(self, xf: jax.Array, mul: jax.Array | None = None,
+                 add: jax.Array | None = None) -> jax.Array:
+        from qea_ocr_tpu.ops.pallas.conv_cmajor import (
+            conv_flat_bn_relu, conv_flat_vjp)
         cin = xf.shape[1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
@@ -239,6 +241,11 @@ class FlatConv3x3(nn.Module):
             pad = 16 - cin
             xf = jnp.pad(xf, ((0, 0), (0, pad), (0, 0)))
             w = jnp.pad(w, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        if mul is not None:
+            # eval-mode BN + ReLU folded into the kernel epilogue (no-grad
+            # path; the fused call has no vjp by design).
+            return conv_flat_bn_relu(xf, w, mul, add,
+                                     self.height, self.width)
         return conv_flat_vjp(xf, w, self.height, self.width)
 
 
@@ -260,7 +267,8 @@ class FlatBatchNorm(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xf: jax.Array, use_running_average: bool) -> jax.Array:
+    def __call__(self, xf: jax.Array | None, use_running_average: bool,
+                 fold: bool = False):
         c = self.features
         scale = self.param("scale", nn.initializers.ones, (c,),
                            self.param_dtype)
@@ -273,6 +281,7 @@ class FlatBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            assert not fold, "fold requires running statistics (eval mode)"
             n = xf.shape[0] * self.height * self.width  # REAL elements
             xs = xf.astype(jnp.float32)
             mean = xs.sum(axis=(0, 2)) / n
@@ -285,6 +294,10 @@ class FlatBatchNorm(nn.Module):
                                 + (1.0 - self.momentum) * var)
         mul = scale * jax.lax.rsqrt(var + self.epsilon)
         add = bias - mean * mul
+        if fold:
+            # hand (mul, add) f32 to the caller for the conv-epilogue fold
+            # (FlatConv3x3's fused path) instead of applying them here.
+            return mul.astype(jnp.float32), add.astype(jnp.float32)
         return (xf.astype(self.compute_dtype)
                 * mul[None, :, None].astype(self.compute_dtype)
                 + add[None, :, None].astype(self.compute_dtype))
@@ -292,8 +305,17 @@ class FlatBatchNorm(nn.Module):
 
 class FlatUNetBlock(nn.Module):
     """conv-BN-relu x2 staying in the padded-flat layout (names match
-    vanilla UNetBlock). Output pad lanes are post-ReLU garbage: consumers
-    must be another flat conv (immune) or go through `unflat`."""
+    vanilla UNetBlock).
+
+    EVAL mode fuses the BN (pure scale+bias under running stats) and ReLU
+    into the conv kernel's epilogue — the BN scale folds into the conv
+    weights, the shift+clamp ride the kernel's f32 accumulator — so the
+    whole block is two kernel launches with ZERO interleaved elementwise
+    HBM round trips, and its output pad lanes are clean zeros.
+    `QEA_CMAJOR_FUSED=0` (trace-time) forces the unfused chain for A/B
+    measurement; TRAIN mode is always unfused (batch statistics need the
+    materialized conv output) and leaves post-ReLU garbage on the pad
+    lanes: consumers must be another flat conv (immune) or `unflat`."""
     features: int
     height: int
     width: int
@@ -302,16 +324,22 @@ class FlatUNetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, xf: jax.Array, train: bool = False) -> jax.Array:
+        fuse = not train and os.environ.get(
+            "QEA_CMAJOR_FUSED", "1").strip().lower() not in (
+            "0", "false", "no", "off")
         for i in range(2):
-            xf = FlatConv3x3(self.features, self.height, self.width,
-                             name=f"Conv_{i}",
-                             param_dtype=self.param_dtype)(xf)
-            xf = FlatBatchNorm(
+            conv = FlatConv3x3(self.features, self.height, self.width,
+                               name=f"Conv_{i}",
+                               param_dtype=self.param_dtype)
+            bn = FlatBatchNorm(
                 self.features, self.height, self.width,
                 name=f"BatchNorm_{i}", compute_dtype=self.compute_dtype,
-                param_dtype=self.param_dtype)(
-                xf, use_running_average=not train)
-            xf = nn.relu(xf)
+                param_dtype=self.param_dtype)
+            if fuse:
+                mul, add = bn(None, use_running_average=True, fold=True)
+                xf = conv(xf, mul, add)
+            else:
+                xf = nn.relu(bn(conv(xf), use_running_average=not train))
         return xf
 
 

@@ -87,9 +87,16 @@ def unflat(xf: jax.Array, height: int, width: int) -> jax.Array:
     return xf.reshape(d_, c, height + 2, width)[:, :, 1:-1, :]
 
 
-def _kernel(a_ref, x_hbm, out_hbm, xbuf, ybuf, zbuf, isems, osems, zsem, *,
-            cin: int, cout: int, tile_h: int, width: int, n_tiles: int,
-            n_steps: int, out_f32: bool):
+def _kernel(a_ref, *refs, cin: int, cout: int, tile_h: int, width: int,
+            n_tiles: int, n_steps: int, out_f32: bool, fuse: bool):
+    if fuse:
+        # Fused BN+ReLU epilogue: the BN *scale* is folded into the conv
+        # weights by the caller (conv is linear in W), so the kernel only
+        # adds the per-channel shift and clamps — zero extra HBM traffic.
+        (b_ref, x_hbm, out_hbm, xbuf, ybuf, zbuf, isems, osems,
+         zsem) = refs
+    else:
+        x_hbm, out_hbm, xbuf, ybuf, zbuf, isems, osems, zsem = refs
     g = pl.program_id(0)
     d, t = g // n_tiles, jax.lax.rem(g, n_tiles)
     thw = tile_h * width
@@ -148,6 +155,9 @@ def _kernel(a_ref, x_hbm, out_hbm, xbuf, ybuf, zbuf, isems, osems, zsem, *,
     # left-roll by 1 == right-roll by thw-1 (pltpu.roll wants shift >= 0)
     y = y + jnp.where(lane_w == width - 1, 0.0,
                       pltpu.roll(partial_dx(2), thw - 1, 1))
+    if fuse:
+        # BN shift + ReLU on the f32 accumulator (scale already in W).
+        y = jnp.maximum(y + b_ref[...].astype(jnp.float32), 0.0)
 
     # Zero the output's halo rows so chained consumers (BN/ReLU grads,
     # elementwise reductions) see zeros — not recycled-buffer garbage —
@@ -194,19 +204,24 @@ def _kernel(a_ref, x_hbm, out_hbm, xbuf, ybuf, zbuf, isems, osems, zsem, *,
                 osems.at[1 - slot]).wait()
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("height", "width", "tile_h", "out_f32"))
-def _conv_flat(xf: jax.Array, w: jax.Array, height: int, width: int,
-               tile_h: int, out_f32: bool = False) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("height", "width", "tile_h",
+                                              "out_f32", "fuse"))
+def _conv_flat(xf: jax.Array, w: jax.Array, bias: jax.Array | None,
+               height: int, width: int, tile_h: int,
+               out_f32: bool = False, fuse: bool = False) -> jax.Array:
     """Padded-flat conv: xf (D, Cin, (H+2)*W) bf16, w (3, 3, Cin, Cout)
     HWIO -> padded-flat (D, Cout, (H+2)*W). Output halo lanes are written
-    as zeros, so flat tensors stay halo-clean through conv chains."""
+    as zeros, so flat tensors stay halo-clean through conv chains. With
+    `fuse`, `bias` is a (Cout, 1) f32 per-channel shift applied with a
+    ReLU clamp inside the kernel (eval-mode BN epilogue — the BN scale
+    folds into `w` outside)."""
     d_, cin, hw2 = xf.shape
     assert hw2 == (height + 2) * width, (xf.shape, height, width)
     kh, kw, wcin, cout = w.shape
     assert (kh, kw) == (3, 3) and wcin == cin, (w.shape, xf.shape)
     assert width % 128 == 0, f"W={width} must be a lane multiple of 128"
     assert height % tile_h == 0, (height, tile_h)
+    assert fuse == (bias is not None)
     n_tiles = height // tile_h
     n_steps = d_ * n_tiles
 
@@ -214,15 +229,18 @@ def _conv_flat(xf: jax.Array, w: jax.Array, height: int, width: int,
     a = jnp.transpose(w.astype(jnp.bfloat16), (1, 0, 3, 2))
     out_dtype = jnp.float32 if out_f32 else jnp.bfloat16
 
+    operands = (a, bias, xf) if fuse else (a, xf)
     return pl.pallas_call(
         functools.partial(
             _kernel, cin=cin, cout=cout, tile_h=tile_h, width=width,
-            n_tiles=n_tiles, n_steps=n_steps, out_f32=out_f32),
+            n_tiles=n_tiles, n_steps=n_steps, out_f32=out_f32, fuse=fuse),
         # interpret mode emulates the DMA path off-TPU (CPU tests)
         interpret=jax.default_backend() != "tpu",
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # A (3, 3, Cout, Cin)
+        ] + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if fuse else [])  # bias
+        + [
             pl.BlockSpec(memory_space=pl.ANY),       # X flat, stays in HBM
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -237,7 +255,7 @@ def _conv_flat(xf: jax.Array, w: jax.Array, height: int, width: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",), has_side_effects=True),
-    )(a, xf)
+    )(*operands)
 
 
 def default_tile_h(h: int, w: int, cin: int) -> int | None:
@@ -255,7 +273,34 @@ def conv_flat(xf: jax.Array, w: jax.Array, height: int, width: int,
     if tile_h is None:
         tile_h = default_tile_h(height, width, xf.shape[1])
     assert tile_h is not None, f"no usable tile for H={height}"
-    return _conv_flat(xf, w, height, width, tile_h)
+    return _conv_flat(xf, w, None, height, width, tile_h)
+
+
+def conv_flat_bn_relu(xf: jax.Array, w: jax.Array, mul: jax.Array,
+                      add: jax.Array, height: int, width: int,
+                      tile_h: int | None = None) -> jax.Array:
+    """Padded-flat conv with the eval-mode BN + ReLU folded in:
+    `relu(conv(xf, w) * mul + add)` per output channel, in ONE kernel pass
+    — the elementwise chain that costs the unfused flat path an HBM round
+    trip per op (the 204.8 ms vs 82.0 ms integration loss above). The BN
+    scale rides the weights (conv is linear in W, so `conv(x, w)*mul ==
+    conv(x, w*mul)`); the shift+clamp ride the kernel's f32 accumulator.
+    Output halo lanes stay ZEROS (the shift is not applied to halo DMAs),
+    so fused-block outputs are halo-clean — stronger than the unfused
+    chain, whose BN+ReLU leave `relu(add)` on the pad lanes.
+
+    No vjp on purpose: train-mode BN needs batch statistics of the conv
+    output (not foldable pre-hoc), and the grad path pins conv_impl="xla"
+    anyway (OOM — module docstring)."""
+    if tile_h is None:
+        tile_h = default_tile_h(height, width, xf.shape[1])
+    assert tile_h is not None, f"no usable tile for H={height}"
+    cout = w.shape[-1]
+    assert mul.shape == add.shape == (cout,), (mul.shape, add.shape, cout)
+    w2 = (w.astype(jnp.float32) * mul.astype(jnp.float32)).astype(
+        jnp.bfloat16)
+    bias = add.astype(jnp.float32).reshape(cout, 1)
+    return _conv_flat(xf, w2, bias, height, width, tile_h, fuse=True)
 
 
 def supports(x_shape, w_shape) -> bool:
@@ -278,7 +323,7 @@ def conv3x3_cmajor(x: jax.Array, w: jax.Array,
     if tile_h is None:
         tile_h = default_tile_h(h_, w_, cin)
     assert tile_h is not None, f"no usable tile for {x.shape}"
-    yf = _conv_flat(pad_flat(x), w, h_, w_, tile_h)
+    yf = _conv_flat(pad_flat(x), w, None, h_, w_, tile_h)
     return unflat(yf, h_, w_).astype(x.dtype)
 
 

@@ -117,6 +117,18 @@ def test_flat_batchnorm_exact_vs_flax_f32():
                                    atol=1e-6)
 
 
+def test_fused_eval_matches_unfused(models_and_vars, monkeypatch):
+    """The default eval path fuses BN+ReLU into the conv epilogue (the BN
+    scale folds into the weights); QEA_CMAJOR_FUSED=0 forces the unfused
+    chain. Both must agree to bf16 weight-fold rounding — and both with
+    vanilla (test_eval_forward_parity covers fused-vs-vanilla)."""
+    vanilla, cmajor, v_vars, x = models_and_vars
+    y_fused = cmajor.apply(v_vars, x, train=False)
+    monkeypatch.setenv("QEA_CMAJOR_FUSED", "0")
+    y_unfused = cmajor.apply(v_vars, x, train=False)
+    assert float(jnp.max(jnp.abs(y_fused - y_unfused))) < 2e-3
+
+
 def test_resolve_conv_impl():
     assert cmajor_supported(16, 256, F)
     assert not cmajor_supported(16, 192, F)      # W/2 not lane-aligned

@@ -94,6 +94,29 @@ def test_vjp_matches_xla_and_ignores_cotangent_halo_garbage(h):
     assert np.all(dx[:, :, (h + 1) * W:] == 0)
 
 
+@pytest.mark.parametrize("h", [8, 24])
+def test_fused_bn_relu_epilogue(h):
+    """`conv_flat_bn_relu` == relu(conv * mul + add) on the real lanes
+    (bf16-rounding tolerance: the scale folds into the weights), and the
+    output halo lanes stay ZEROS even with a nonzero shift (the epilogue
+    is not applied to the halo DMAs)."""
+    rng = np.random.default_rng(3)
+    x, w = _operands(rng, h)
+    mul = jnp.asarray(0.5 + rng.random(COUT, dtype=np.float32))
+    add = jnp.asarray(rng.standard_normal(COUT).astype(np.float32))
+
+    out = np.asarray(cc.conv_flat_bn_relu(cc.pad_flat(x), w, mul, add, h, W))
+    ref = np.maximum(
+        np.asarray(_xla_f32(x, w)) * np.asarray(mul)[None, :, None, None]
+        + np.asarray(add)[None, :, None, None], 0.0)
+
+    got = out[:, :, W:-W].reshape(D, COUT, h, W).astype(np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 6e-3, rel
+    assert np.all(out[:, :, :W] == 0)          # halo stays zero-clean
+    assert np.all(out[:, :, (h + 1) * W:] == 0)
+
+
 def test_supports_and_tiling():
     assert cc.default_tile_h(24, W, CIN) == 8
     assert cc.supports((D, CIN, 24, 128), (3, 3, CIN, COUT))
