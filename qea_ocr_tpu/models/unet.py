@@ -23,12 +23,12 @@ checkpoints are interchangeable:
 
 Why cmajor is opt-in, not default (both directions measured on a v5e,
 D=96, (400,512) docs):
-  * integrated FORWARD: 204.8 ms vs XLA's 82.0 ms — the kernel's isolated
-    1.6-2.7x per-conv win is swamped because XLA cannot fuse the
-    interleaved BN/ReLU elementwise chains into a custom-call; each such
-    op becomes a full HBM round trip over the (D,C,(H+2)W) flat
-    activations, where the nn.Conv path gets them fused into the conv for
-    free.
+  * integrated FORWARD: 204.8 ms unfused / 182.9 ms with the BN+ReLU
+    epilogue folded into the kernel, vs XLA's 81.2 ms — the kernel's
+    isolated 1.6-2.7x per-conv win is swamped by the flat layout's glue
+    (pad_flat passes, parity-interleave upconvs, multi-GB skip concats,
+    custom-call boundary copies), which the NHWC path never pays
+    (benchmarks/unet_eval_probe.py).
   * GRAD at document batches: OOM — the fused training step needs 27.6G
     of 15.75G HBM (saved padded-flat activations for every conv plus XLA
     layout copies at the custom-call boundaries), so even under the
@@ -416,10 +416,10 @@ def resolve_conv_impl(conv_impl: str, height: int, width: int,
     """`auto` (per `QEA_CONV_IMPL`, read at trace time like
     `QEA_GATHER_IMPL`) resolves to XLA NHWC: the channel-major kernel wins
     1.6-2.7x per isolated conv but LOSES integrated — the full eval
-    forward measured 204.8 ms vs 82.0 ms at D=96 on a v5e, because XLA
-    cannot fuse the interleaved BN/ReLU elementwise chains into a
-    custom-call, so every such op becomes its own HBM round trip over the
-    flat activations (benchmarks/RESULTS.md "Kernel-level notes"). The
+    forward measured 182.9 ms (BN+ReLU epilogue fused into the kernel)
+    vs XLA's 81.2 ms at D=96 on a v5e; the flat layout's glue (pad_flat
+    passes, upconv interleaves, skip concats, custom-call boundary
+    copies) dominates (benchmarks/RESULTS.md "Kernel-level notes"). The
     kernel therefore stays opt-in (`QEA_CONV_IMPL=cmajor`), and the
     trainers route even the opt-in to no-grad forwards only (its grad at
     document batches OOMs; see the module docstring). Multi-device meshes

@@ -47,17 +47,22 @@ Used by `models/unet.py`'s channel-major UNet path (`FlatUNetBlock` /
 `CMUpconv`), OPT-IN via `QEA_CONV_IMPL=cmajor` (`auto` resolves to XLA).
 Off-TPU the kernel runs in Pallas interpret mode (tests).
 
-Integration verdict (measured, v5e, D=96): the isolated per-conv wins
-above do NOT survive the full model. The flat UNet eval forward measured
-204.8 ms vs XLA's 82.0 ms — XLA cannot fuse the interleaved BN/ReLU
-elementwise chains into a custom-call, so each becomes its own HBM round
-trip over the (D,C,(H+2)W) activations, while the nn.Conv path gets them
-fused into the conv epilogue for free; and differentiating the flat
-layout at document batches OOMs (27.6G vs 15.75G HBM — saved padded-flat
-activations plus custom-call layout copies). Recovering the win would
-require folding the BN/ReLU epilogues into this kernel (eval-mode BN is a
-pure scale+bias, so it is foldable — future work). Even under the opt-in,
-trainers route the kernel to NO-GRAD forwards only
+Integration verdict (measured, v5e, D=96, twice): the isolated per-conv
+wins above do NOT survive the full model. Unfused, the flat UNet eval
+forward measured 204.8 ms vs XLA's 82.0 ms — XLA cannot fuse the
+interleaved BN/ReLU elementwise chains into a custom-call, so each became
+its own HBM round trip over the (D,C,(H+2)W) activations. The eval-mode
+BN+ReLU epilogue was then FOLDED INTO THIS KERNEL (`conv_flat_bn_relu`:
+the BN scale rides the weights, the shift+ReLU ride the f32 accumulator)
+and re-measured: 182.9 ms — still 2.25x XLA's 81.2 ms, because the
+remaining tax is the flat layout's glue (pad_flat passes at level
+entries, CMUpconv parity-interleave relayouts, multi-GB decoder skip
+concats, the cin=1->16 pad, custom-call boundary copies), which the NHWC
+path never pays (benchmarks/unet_eval_probe.py; RESULTS.md
+"Kernel-level notes"). Differentiating the flat layout at document
+batches additionally OOMs (27.6G vs 15.75G HBM — saved padded-flat
+activations plus layout copies). Even under the opt-in, trainers route
+the kernel to NO-GRAD forwards only
 (`train/patch_steps.make_steps`'s `prep_eval_model`).
 Reference semantics: `models/model_unet.py:7-109` (3x3 SAME convs inside
 UNet._block).
