@@ -422,17 +422,40 @@ def resolve_conv_impl(conv_impl: str, height: int, width: int,
     copies) dominates (benchmarks/RESULTS.md "Kernel-level notes"). The
     kernel therefore stays opt-in (`QEA_CONV_IMPL=cmajor`), and the
     trainers route even the opt-in to no-grad forwards only (its grad at
-    document batches OOMs; see the module docstring). Multi-device meshes
-    always fall back to XLA (GSPMD cannot partition the pallas_call over
-    the data axis)."""
+    document batches OOMs; see the module docstring).
+
+    The ENV opt-in (`conv_impl="auto"` + `QEA_CONV_IMPL=cmajor`) is
+    best-effort: it falls back to XLA with a warning when more than one
+    device is visible (GSPMD cannot partition the pallas_call over the
+    data axis) or when the geometry is outside the kernel's coverage —
+    a process-wide env var must not abort whichever model in the process
+    happens to trace an unsupported shape. An EXPLICIT constructor
+    `conv_impl="cmajor"` still asserts (tests/probes want the kernel or
+    an error, never a silent reroute)."""
     impl = conv_impl
+    from_env = False
     if impl == "auto":
         impl = os.environ.get("QEA_CONV_IMPL", "auto")
+        from_env = True
     if impl == "xla" or impl == "auto":
         return "xla"
     assert impl == "cmajor", f"unknown conv_impl {impl!r}"
+    if from_env:
+        import warnings
+
+        import jax
+        if len(jax.devices()) > 1:
+            warnings.warn(
+                "QEA_CONV_IMPL=cmajor ignored: >1 device visible and GSPMD "
+                "cannot partition the pallas_call — using XLA NHWC convs")
+            return "xla"
+        if not cmajor_supported(height, width, init_features):
+            warnings.warn(
+                f"QEA_CONV_IMPL=cmajor ignored for doc {(height, width)} at "
+                f"f={init_features} (unsupported geometry) — using XLA")
+            return "xla"
     assert cmajor_supported(height, width, init_features), (
-        f"QEA_CONV_IMPL=cmajor unsupported for doc "
+        f"conv_impl='cmajor' unsupported for doc "
         f"{(height, width)} at f={init_features}")
     return "cmajor"
 

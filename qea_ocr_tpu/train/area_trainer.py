@@ -243,8 +243,14 @@ class TrainNNPrepArea:
         self.ocr = OcrQueryEngine(backend, self.charmap)
 
         from qea_ocr_tpu.utils.platform import default_mxu_packed
+        # conv_impl pinned to "xla" like patch_trainer's GRAD path: this
+        # UNet runs under value_and_grad every step, and the Pallas cmajor
+        # kernel neither supports the 32x128 word-crop geometry nor should
+        # a process-wide QEA_CONV_IMPL=cmajor reach a grad program (its
+        # backward is the measured-OOM path; see patch_trainer).
         self.prep_model = UNet(init_features=cfg.unet_features,
-                               mxu_packed=default_mxu_packed())
+                               mxu_packed=default_mxu_packed(),
+                               conv_impl="xla")
         self.crnn_model = CRNN(vocab_size=self.charmap.vocab_size,
                                lstm_hidden=cfg.lstm_hidden)
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(cfg.random_seed), 3)
@@ -492,8 +498,16 @@ class TrainNNPrepArea:
                 sel_rows = np.nonzero(bb_mask)[0]
                 sel_ids = batch.strip_ids[sel_rows]
                 if epoch_print:
+                    n_sel = len(sel_rows)
+                    if self._pc > 1:
+                        # global-bitmap methods select different counts per
+                        # host — sum the real per-host counts (collective;
+                        # every host reaches this branch in lockstep on the
+                        # first batch of the epoch)
+                        from qea_ocr_tpu.parallel import process_sum
+                        n_sel = int(process_sum([n_sel])[0])
                     print(f"Total Samples - {B}")
-                    print(f"OCR Samples - {len(sel_rows) * self._pc}")
+                    print(f"OCR Samples - {n_sel}")
                     epoch_print = False
                 for r in sel_rows:
                     self.selected_samples.setdefault(
