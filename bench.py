@@ -99,6 +99,11 @@ def run_tpu(n_steps: int = 20, D: int = 96, S: int = 16) -> float:
     bb_mask = jnp.ones((N,), bool)
 
     fused = _env_flag("QEA_BENCH_FUSED", True)
+    # QEA_BENCH_MICRO_STEPS=G measures the equal-query quality recipe's
+    # operating point: G sequential (phase A -> phase B) chunk updates per
+    # dispatch (lax.scan inside the fused program; patch_steps micro-
+    # stepping note) — bs=D/G optimizer dynamics at D-batch amortization.
+    micro = int(os.environ.get("QEA_BENCH_MICRO_STEPS", "1") or "1")
 
     def one_step(prep_state, crnn_state, cer_table, ent_table):
         # two dispatches per batch, mirroring the trainer: prep_extract
@@ -116,7 +121,7 @@ def run_tpu(n_steps: int = 20, D: int = 96, S: int = 16) -> float:
                                strips[None], hist_labels[:, 0][None],
                                hist_lengths[:, 0][None],
                                decaying=True, inner_limit_skip=True,
-                               update_crnn=False)
+                               update_crnn=False, micro_steps=micro)
         else:
             crnn_state, _ = steps.phase_a(
                 crnn_state, strips, bb_mask, hist_labels, hist_lengths,
@@ -126,7 +131,8 @@ def run_tpu(n_steps: int = 20, D: int = 96, S: int = 16) -> float:
             prep_state, crnn_state, doc_out, metrics, cer_table, ent_table = \
                 steps.phase_b(prep_state, crnn_state, images, bboxes,
                               strip_mask, gt_labels, cer_table, ent_table,
-                              gt_lengths, strip_ids, update_crnn=False)
+                              gt_lengths, strip_ids, update_crnn=False,
+                              micro_steps=micro)
         return prep_state, crnn_state, cer_table, ent_table, metrics["loss"]
 
     # warmup / compile. Sync via a host fetch of the loss value:

@@ -84,6 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native
     p.add_argument("--batch_docs", type=int, default=1,
                    help="documents per device step (reference fixes 1)")
+    p.add_argument("--micro_steps", type=int, default=1,
+                   help="sequential optimizer micro-steps per batch: split "
+                        "each batch_docs batch into this many chunks inside "
+                        "the jitted step, one phase-A + phase-B update per "
+                        "chunk — reference bs=1 step dynamics at batched "
+                        "amortization (must divide batch_docs)")
     p.add_argument("--max_strips", type=int, default=32)
     p.add_argument("--dataset", default="patch", choices=["patch", "synthetic"])
     p.add_argument("--synthetic_train_docs", type=int, default=32)
@@ -136,7 +142,7 @@ def config_from_args(args) -> PatchTrainerConfig:
         profile_dir=args.profile_dir,
         prep_pretrain_epochs=args.prep_pretrain_epochs,
         prep_ema=args.prep_ema,
-        batch_docs=args.batch_docs,
+        batch_docs=args.batch_docs, micro_steps=args.micro_steps,
         max_strips=args.max_strips, dataset=args.dataset,
         synthetic_train_docs=args.synthetic_train_docs,
         synthetic_val_docs=args.synthetic_val_docs, use_wandb=args.use_wandb,

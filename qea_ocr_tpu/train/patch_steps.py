@@ -222,10 +222,86 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
         metrics = dict(loss=loss, cers=cers, decoded=dec, decoded_len=dec_len)
         return new_prep, new_crnn, doc_out, metrics, new_cer_table, new_ent_table
 
+    # ------------------------------------------------------------------
+    # Micro-stepping (sequential on-device chunks).
+    #
+    # The reference trains at bs=1 document — TRAIN_DOCS optimizer steps
+    # per epoch (`train_nn_patch.py:37,193-467`) — while the batched TPU
+    # step takes ONE prep/CRNN update per D-doc batch, which step-starves
+    # the optimizers at equal epochs (measured: 82.0% vs 91.4% at D=8,
+    # benchmarks/RESULTS.md "Reference-implementation quality parity").
+    # `micro_steps=G` splits the D-doc batch into G sequential chunks
+    # inside the SAME jitted program (`lax.scan`, body compiled once):
+    # each chunk takes a full phase-A CRNN update and phase-B prep update,
+    # recovering bs=D/G step dynamics at large-D amortization of the
+    # per-batch host work (selection, OCR fan-out, history, dispatch).
+    # The per-epoch query ledger is UNCHANGED (selection stays per-batch).
+    # Chunking is doc-major, so chunk g owns docs [g*Dc, (g+1)*Dc) and
+    # strip rows [g*Dc*S, (g+1)*Dc*S) — exactly the sub-batches a
+    # batch_docs=D/G run would form from the same permutation.
+    #
+    # Known (documented) staleness: phase A consumes strips extracted ONCE
+    # per batch with the batch-start prep params — chunk g's history/jitter
+    # strips are up to g phase-B updates stale. This matches the labels
+    # (the OCR read those very pixels) and the async-OCR pipeline's
+    # existing one-step staleness contract.
+
+    def _chunk(x, G):
+        """(K, ...) -> (G, K/G, ...) doc-major chunking."""
+        return x.reshape(G, x.shape[0] // G, *x.shape[1:])
+
+    def _stack_metrics(ys):
+        doc_out, loss_b, cers, dec, dec_len = ys
+        D = doc_out.shape[0] * doc_out.shape[1]
+        metrics = dict(
+            loss=jnp.mean(loss_b),
+            cers=cers.reshape(-1),
+            decoded=dec.reshape(-1, dec.shape[-1]),
+            decoded_len=dec_len.reshape(-1),
+        )
+        return doc_out.reshape(D, *doc_out.shape[2:]), metrics
+
+    def _phase_b_micro(prep_state, crnn_state, images, bboxes, strip_mask,
+                       gt_labels, cer_table, ent_table, gt_lengths,
+                       strip_ids, *, update_crnn: bool, micro_steps: int):
+        G = micro_steps
+        xs = tuple(_chunk(a, G) for a in (
+            images, bboxes, strip_mask, gt_labels, gt_lengths, strip_ids))
+
+        def body(carry, x):
+            prep_s, crnn_s, ct, et = carry
+            im, bb, sm, gl, glen, sid = x
+            prep_s, crnn_s, do, m, ct, et = _phase_b_impl(
+                prep_s, crnn_s, im, bb, sm, gl, ct, et, glen, sid,
+                update_crnn=update_crnn)
+            return (prep_s, crnn_s, ct, et), (
+                do, m["loss"], m["cers"], m["decoded"], m["decoded_len"])
+
+        (prep_state, crnn_state, cer_table, ent_table), ys = jax.lax.scan(
+            body, (prep_state, crnn_state, cer_table, ent_table), xs)
+        doc_out, metrics = _stack_metrics(ys)
+        return (prep_state, crnn_state, doc_out, metrics,
+                cer_table, ent_table)
+
+    def _phase_b_dispatch(prep_state, crnn_state, images, bboxes, strip_mask,
+                          gt_labels, cer_table, ent_table, gt_lengths,
+                          strip_ids, *, update_crnn: bool,
+                          micro_steps: int = 1):
+        if micro_steps <= 1:
+            return _phase_b_impl(
+                prep_state, crnn_state, images, bboxes, strip_mask,
+                gt_labels, cer_table, ent_table, gt_lengths, strip_ids,
+                update_crnn=update_crnn)
+        return _phase_b_micro(
+            prep_state, crnn_state, images, bboxes, strip_mask, gt_labels,
+            cer_table, ent_table, gt_lengths, strip_ids,
+            update_crnn=update_crnn, micro_steps=micro_steps)
+
     # donate model states + tables: params/opt-state buffers update in place
     # (trainers rebind both states right after each call, so the donated
     # inputs are never touched again host-side)
-    phase_b = jax.jit(_phase_b_impl, static_argnames=("update_crnn",),
+    phase_b = jax.jit(_phase_b_dispatch,
+                      static_argnames=("update_crnn", "micro_steps"),
                       donate_argnums=(0, 1, 6, 7))
 
     # ------------------------------------------------------------------
@@ -256,9 +332,81 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
             update_crnn=update_crnn)
         return out + (loss_a,)
 
+    def _phase_ab_micro(prep_state, crnn_state, images, bboxes, strip_mask,
+                        gt_labels, cer_table, ent_table, gt_lengths,
+                        strip_ids, strips, bb_mask,
+                        hist_labels, hist_lengths, hist_valid, loss_weights,
+                        jitter_images, jitter_labels, jitter_lengths,
+                        *, decaying: bool, inner_limit_skip: bool,
+                        update_crnn: bool, micro_steps: int):
+        """G sequential (phase A -> phase B) chunk updates per dispatch —
+        the reference's per-small-batch interleave (`train_nn_patch.py:
+        225-345` at bs=1) at D-batch amortization; see the micro-stepping
+        note above."""
+        G = micro_steps
+        doc_xs = tuple(_chunk(a, G) for a in (
+            images, bboxes, strip_mask, gt_labels, gt_lengths, strip_ids))
+        strip_xs = tuple(_chunk(a, G) for a in (
+            strips, bb_mask, hist_labels, hist_lengths, hist_valid))
+        if decaying:
+            # (W,) scalars shared by every chunk
+            lw_xs = jnp.broadcast_to(
+                loss_weights, (G, *loss_weights.shape))
+        else:
+            lw_xs = _chunk(loss_weights, G)          # (G, Nc, W+1)
+        # jitter stacks are (I, N, ...): split the strip-row axis, then put
+        # the chunk axis first for the scan
+        jit_xs = tuple(
+            jnp.swapaxes(
+                a.reshape(a.shape[0], G, a.shape[1] // G, *a.shape[2:]),
+                0, 1)
+            for a in (jitter_images, jitter_labels, jitter_lengths))
+
+        def body(carry, x):
+            prep_s, crnn_s, ct, et = carry
+            (im, bb, sm, gl, glen, sid), (st, bbm, hl, hlen, hv), lw, \
+                (ji, jl, jlen) = x
+            crnn_s, loss_a = _phase_a_impl(
+                crnn_s, st, bbm, hl, hlen, hv, lw, ji, jl, jlen,
+                decaying=decaying, inner_limit_skip=inner_limit_skip)
+            prep_s, crnn_s, do, m, ct, et = _phase_b_impl(
+                prep_s, crnn_s, im, bb, sm, gl, ct, et, glen, sid,
+                update_crnn=update_crnn)
+            return (prep_s, crnn_s, ct, et), (
+                do, m["loss"], m["cers"], m["decoded"], m["decoded_len"],
+                loss_a)
+
+        (prep_state, crnn_state, cer_table, ent_table), ys = jax.lax.scan(
+            body, (prep_state, crnn_state, cer_table, ent_table),
+            (doc_xs, strip_xs, lw_xs, jit_xs))
+        doc_out, metrics = _stack_metrics(ys[:5])
+        return (prep_state, crnn_state, doc_out, metrics,
+                cer_table, ent_table, jnp.mean(ys[5]))
+
+    def _phase_ab_dispatch(prep_state, crnn_state, images, bboxes,
+                           strip_mask, gt_labels, cer_table, ent_table,
+                           gt_lengths, strip_ids, strips, bb_mask,
+                           hist_labels, hist_lengths, hist_valid,
+                           loss_weights, jitter_images, jitter_labels,
+                           jitter_lengths, *, decaying: bool,
+                           inner_limit_skip: bool, update_crnn: bool,
+                           micro_steps: int = 1):
+        args = (prep_state, crnn_state, images, bboxes, strip_mask,
+                gt_labels, cer_table, ent_table, gt_lengths, strip_ids,
+                strips, bb_mask, hist_labels, hist_lengths, hist_valid,
+                loss_weights, jitter_images, jitter_labels, jitter_lengths)
+        if micro_steps <= 1:
+            return _phase_ab_impl(
+                *args, decaying=decaying,
+                inner_limit_skip=inner_limit_skip, update_crnn=update_crnn)
+        return _phase_ab_micro(
+            *args, decaying=decaying, inner_limit_skip=inner_limit_skip,
+            update_crnn=update_crnn, micro_steps=micro_steps)
+
     phase_ab = jax.jit(
-        _phase_ab_impl,
-        static_argnames=("decaying", "inner_limit_skip", "update_crnn"),
+        _phase_ab_dispatch,
+        static_argnames=("decaying", "inner_limit_skip", "update_crnn",
+                         "micro_steps"),
         donate_argnums=(0, 1, 6, 7))
 
     # ------------------------------------------------------------------

@@ -138,6 +138,19 @@ class PatchTrainerConfig:
                            # 73.8% -> 86.7% on the word-crop path). Seeded
                            # AFTER pretrain/warm-start so the average never
                            # blends untrained init params.
+    micro_steps: int = 1  # G > 1: split each D-doc batch into G sequential
+                          # chunks INSIDE the jitted fused step (lax.scan),
+                          # taking G phase-A CRNN updates and G phase-B prep
+                          # updates per dispatch. Recovers the reference's
+                          # small-batch optimizer-step dynamics
+                          # (`train_nn_patch.py:37` trains at bs=1 doc) at
+                          # large-D amortization of selection/OCR/dispatch;
+                          # the per-epoch query ledger is unchanged. Must
+                          # divide batch_docs (and the per-chunk doc count
+                          # must still be a device-count multiple under
+                          # data_parallel). See patch_steps micro-stepping
+                          # note for the documented one-batch strip
+                          # staleness in phase A.
     batch_docs: int = 1
     max_strips: int = 32
     dataset: str = "patch"                 # patch | synthetic
@@ -340,6 +353,19 @@ class TrainNNPrep:
                     f"batch_docs={cfg.batch_docs} must be a multiple of the "
                     f"process count {self._pc}")
         self._dl = cfg.batch_docs // self._pc  # local docs per step
+        if cfg.micro_steps > 1:
+            if cfg.batch_docs % cfg.micro_steps:
+                raise ValueError(
+                    f"micro_steps={cfg.micro_steps} must divide "
+                    f"batch_docs={cfg.batch_docs}")
+            chunk = cfg.batch_docs // cfg.micro_steps
+            if self.mesh is not None:
+                n_data = self.mesh.shape.get("data", 1)
+                if chunk % n_data:
+                    raise ValueError(
+                        f"micro-step chunk size {chunk} (batch_docs "
+                        f"{cfg.batch_docs} / micro_steps {cfg.micro_steps}) "
+                        f"must be a multiple of the data-axis size {n_data}")
         from qea_ocr_tpu.parallel import pinned_subset
         self._local_train_indices = pinned_subset(
             self.train_indices, self._pi, self._pc)
@@ -783,9 +809,10 @@ class TrainNNPrep:
                     self._dev(jitter_lengths, dim=1),
                     decaying=(cfg.weightgen_method == "decaying"),
                     inner_limit_skip=cfg.inner_limit_skip,
-                    update_crnn=cfg.update_CRNN)
+                    update_crnn=cfg.update_CRNN,
+                    micro_steps=cfg.micro_steps)
             crnn_loss = float(loss)
-            crnn_updates = 1
+            crnn_updates = max(1, cfg.micro_steps)
         else:
             with self.timer.time("phase_b"):
                 (self.prep_state, self.crnn_state, doc_out, metrics,
@@ -796,7 +823,8 @@ class TrainNNPrep:
                     self.cer_table, self.ent_table,
                     self._dev(batch.gt_lengths),
                     self._dev(batch.strip_ids),
-                    update_crnn=cfg.update_CRNN)
+                    update_crnn=cfg.update_CRNN,
+                    micro_steps=cfg.micro_steps)
 
         if self.ema_params is not None:
             self.ema_params = self._ema_update(

@@ -78,6 +78,19 @@ LR_SCALE = float(os.environ.get("LR_SCALE", 1.0))
 LR_PREP = float(os.environ.get("LR_PREP", 5e-5)) * LR_SCALE
 LR_CRNN = float(os.environ.get("LR_CRNN", 1e-4)) * LR_SCALE
 STEP_MATCH = os.environ.get("STEP_MATCH", "1") not in ("0", "false")
+# Micro-stepping (the equal-query recipe): MICRO_STEPS=G splits each
+# BATCH_DOCS batch into G sequential on-device chunk updates (one phase-A +
+# phase-B optimizer step per chunk, lax.scan inside the jitted program) —
+# BATCH_DOCS/G step dynamics at BATCH_DOCS amortization with the per-epoch
+# query ledger UNCHANGED (unlike STEP_MATCH, which multiplies epochs and
+# therefore queries). When set (>1), STEP_MATCH epoch scaling is disabled:
+# the optimizer steps come from the chunks, not from extra epochs.
+MICRO_STEPS = int(os.environ.get("MICRO_STEPS", 1))
+if MICRO_STEPS > 1:
+    STEP_MATCH = False
+    if BATCH_DOCS % MICRO_STEPS:
+        raise SystemExit(f"MICRO_STEPS={MICRO_STEPS} must divide "
+                         f"BATCH_DOCS={BATCH_DOCS}")
 if SELECTION not in SELECTION_KEYS:
     raise SystemExit(f"unknown SELECTION {SELECTION!r} (one of {SELECTION_KEYS})")
 if WEIGHTGEN not in WEIGHTGEN_KEYS:
@@ -125,6 +138,36 @@ def main():
                             key=os.path.getmtime)
         crnn_ckpt = crnn_ckpts[-1]
 
+    # ---------------- 1b. optional seed-CER priors -----------------------
+    # CERS_SEED=1 reproduces the reference's warm-start workflow: OCR every
+    # raw training strip ONCE offline (`cer_data_utils/
+    # ocr_inference_patch_dataset.py` -> pos_dataset_cers.json, consumed at
+    # `train_nn_patch.py:66-72`), write {strip_name: cer}, and hand it to
+    # the trainer via cers_ocr_path — the CER table then starts from real
+    # priors instead of the cold-start 1.0s, so the first epochs' selection
+    # is informed. The generation pass is the reference's offline ledger
+    # (73k calls for POS), reported separately from the training budget.
+    cers_path = os.environ.get("CERS_OCR_PATH")
+    if not cers_path and os.environ.get("CERS_SEED") == "1":
+        from qea_ocr_tpu.data.datasets import PatchDocuments
+        from qea_ocr_tpu.ocr.base import get_ocr_helper
+        from qea_ocr_tpu.ocr.engine import OcrQueryEngine
+        from qea_ocr_tpu.tools.cer_seed import seed_patch
+        from qea_ocr_tpu.utils.charmap import CharMap
+        ds = PatchDocuments.synthetic(
+            TRAIN_DOCS, seed=42, n_strips=STRIPS_PER_DOC,
+            max_strips=STRIPS_PER_DOC, corruption=CORRUPTION,
+            doc_size=DOC_SIZE)
+        cm = CharMap.default()
+        eng = OcrQueryEngine(get_ocr_helper("Fake"), cm)
+        cers = seed_patch(ds, eng, cm)
+        cers_path = os.path.join(OUT, "cers_seed.json")
+        with open(cers_path, "w") as f:
+            json.dump(cers, f)
+        print(f"[seed] wrote {len(cers)} strip CER priors to {cers_path} "
+              f"({eng.total_calls} offline bb calls, not in the training "
+              f"ledger) ({time.time() - t0:.0f}s)", flush=True)
+
     # ---------------- 2. budget-aware patch training --------------------
     from qea_ocr_tpu.train.patch_trainer import PatchTrainerConfig, TrainNNPrep
     patch_epochs = int(os.environ.get("PATCH_EPOCHS", 20))
@@ -140,6 +183,7 @@ def main():
         synthetic_train_docs=TRAIN_DOCS, synthetic_val_docs=VAL_DOCS,
         synthetic_strips_per_doc=STRIPS_PER_DOC,
         max_strips=STRIPS_PER_DOC, batch_docs=BATCH_DOCS,
+        micro_steps=MICRO_STEPS,
         doc_size=DOC_SIZE,
         corruption=CORRUPTION,
         minibatch_subset=SELECTION, minibatch_subset_prop=BUDGET_PROP,
@@ -149,6 +193,7 @@ def main():
         prep_ema=float(os.environ.get("PREP_EMA", 0.0)),
         lr_prep=LR_PREP, lr_crnn=LR_CRNN,
         crnn_model=crnn_ckpt,
+        cers_ocr_path=cers_path,
         exp_base_path=os.path.join(OUT, "patch"))
     trainer = TrainNNPrep(patch_cfg)
     best_acc, best_epoch = trainer.train()
