@@ -113,6 +113,10 @@ def main(argv=None):
     p.add_argument("--dataset", default="synthetic")
     p.add_argument("--exp_base_path", default="./sweep_out")
     p.add_argument("--out", help="write result json here")
+    p.add_argument("--world_json",
+                   help="JSON dict of extra trainer-config overrides merged "
+                        "into every trial (e.g. shrink the synthetic world "
+                        "for smoke sweeps / SLURM array probes)")
     args = p.parse_args(argv)
 
     if args.which == "patch":
@@ -121,6 +125,8 @@ def main(argv=None):
     else:
         base = dict(epochs=args.epoch, ocr=args.ocr, dataset=args.dataset,
                     crnn_model_path=args.exp_base_path + "/model")
+    if args.world_json:
+        base.update(json.loads(args.world_json))
     result = run_sweep(args.which, args.n_trials, args.storage,
                        args.study_name, args.acc_floor, args.pruner_warmup,
                        base)

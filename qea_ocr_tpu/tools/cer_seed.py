@@ -79,6 +79,13 @@ def main(argv=None):
     p.add_argument("--max_strips", type=int, default=32)
     p.add_argument("--num_subset", type=int)
     p.add_argument("--synthetic_size", type=int, default=32)
+    # synthetic-world parameters — must match the trainer's world exactly
+    # or the seed keys/values won't correspond to its strips
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--strips_per_doc", type=int, default=6)
+    p.add_argument("--doc_size", type=int, nargs=2, metavar=("H", "W"))
+    p.add_argument("--corruption",
+                   help='JSON dict, e.g. \'{"noise_std": 0.18, ...}\'')
     args = p.parse_args(argv)
 
     charmap = CharMap.default()
@@ -87,8 +94,13 @@ def main(argv=None):
         from qea_ocr_tpu import config as C
         from qea_ocr_tpu.data.datasets import PatchDocuments
         if args.dataset == "synthetic":
-            ds = PatchDocuments.synthetic(args.synthetic_size,
-                                          max_strips=args.max_strips)
+            ds = PatchDocuments.synthetic(
+                args.synthetic_size, seed=args.seed,
+                n_strips=args.strips_per_doc, max_strips=args.max_strips,
+                corruption=(json.loads(args.corruption)
+                            if args.corruption else None),
+                **({"doc_size": tuple(args.doc_size)}
+                   if args.doc_size else {}))
         else:
             import os
             ds = PatchDocuments(
@@ -99,7 +111,10 @@ def main(argv=None):
         from qea_ocr_tpu import config as C
         from qea_ocr_tpu.data.datasets import ImgDataset, SyntheticWordDataset
         if args.dataset == "synthetic":
-            ds = SyntheticWordDataset(args.synthetic_size)
+            ds = SyntheticWordDataset(
+                args.synthetic_size, seed=args.seed,
+                corruption=(json.loads(args.corruption)
+                            if args.corruption else None))
         else:
             import os
             split = C.POS_TEXT_TRAIN if args.dataset == "pos" else C.VGG_TEXT_TRAIN

@@ -191,6 +191,45 @@ class TestPatchTrainerVariants:
         for a, b in zip(jax.tree_util.tree_leaves(loaded.params), leaves_ema):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_cers_ocr_path_seeds_priors(self, tmp_path):
+        """`--cers_ocr_path` warm start (reference `train_nn_patch.py:66-72`
+        + shipped pos_dataset_cers.json): the device CER table initializes
+        from the seed file's per-strip priors instead of cold-start 1.0,
+        and every seeded strip pre-registers in the selected_samples
+        bitmap. Seed generated by tools/cer_seed.seed_patch on the SAME
+        synthetic world the trainer builds."""
+        from qea_ocr_tpu.data.datasets import PatchDocuments
+        from qea_ocr_tpu.ocr.base import get_ocr_helper
+        from qea_ocr_tpu.ocr.engine import OcrQueryEngine
+        from qea_ocr_tpu.tools.cer_seed import seed_patch
+        from qea_ocr_tpu.utils.charmap import CharMap
+
+        corruption = dict(noise_std=0.08, shading=0.1, salt_pepper=0.0)
+        ds = PatchDocuments.synthetic(
+            4, seed=42, n_strips=3, max_strips=4, corruption=corruption,
+            doc_size=(96, 128))
+        cm = CharMap.default()
+        eng = OcrQueryEngine(get_ocr_helper("Fake"), cm)
+        seed = seed_patch(ds, eng, cm)
+        assert len(seed) == 12  # 4 docs x 3 strips, one offline call each
+        assert eng.total_calls == 12
+        path = tmp_path / "cers.json"
+        path.write_text(json.dumps(seed))
+
+        cfg = tiny_cfg(tmp_path, epochs=1, minibatch_subset="rangeCER",
+                       minibatch_subset_prop=0.5, cers_ocr_path=str(path))
+        trainer = TrainNNPrep(cfg)
+        table = np.asarray(trainer.cer_table)
+        for name, cer in seed.items():
+            assert name in trainer.dataset.name_to_id, name
+            i = trainer.dataset.name_to_id[name]
+            assert abs(table[i] - cer) < 1e-6, (name, table[i], cer)
+        # a warm prior is informative: the black box reads some raw strips
+        assert (table < 1.0).any()
+        assert set(seed) <= set(trainer.selected_samples)
+        best_acc, _ = trainer.train()
+        assert np.isfinite(best_acc)
+
     def test_prep_pretrain_reduces_recon_mse(self, tmp_path):
         import jax.numpy as jnp
         cfg = tiny_cfg(tmp_path, epochs=1, inner_limit=0,

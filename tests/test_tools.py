@@ -67,6 +67,47 @@ class TestPruneCli:
         assert set(art) == {"f_d5", "f_d4"}
 
 
+class TestSweepCLI:
+    """Executed-code coverage of sweeps.sweep.main(): arg parsing, both
+    --which branches (crnn builds base with crnn_model_path =
+    exp_base_path + '/model'), --world_json overrides, --out artifact."""
+
+    def test_main_crnn_branch(self, tmp_path, capsys):
+        from qea_ocr_tpu.sweeps.sweep import main
+        world = dict(
+            synthetic_train_size=16, synthetic_val_size=8,
+            lstm_hidden=32, batch_size=8,
+            corruption=dict(noise_std=0.02, shading=0.0, salt_pepper=0.0))
+        out = tmp_path / "result.json"
+        main(["--which", "crnn", "--n_trials", "1", "--epoch", "1",
+              "--exp_base_path", str(tmp_path / "exp"),
+              "--world_json", json.dumps(world), "--out", str(out)])
+        result = json.loads(out.read_text())
+        assert {"lr", "std"} <= set(result["best_params"])
+        assert result["best_value"] >= 0.0
+        # the crnn branch writes checkpoints under exp_base_path/model*
+        import glob as _glob
+        assert _glob.glob(str(tmp_path / "exp" / "model*"))
+        assert json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]) == result
+
+    def test_main_patch_branch(self, tmp_path):
+        from qea_ocr_tpu.sweeps.sweep import main
+        world = dict(
+            synthetic_train_docs=2, synthetic_val_docs=1,
+            synthetic_strips_per_doc=2, max_strips=2, batch_docs=2,
+            doc_size=(96, 128), lstm_hidden=16, unet_features=4,
+            inner_limit=1, minibatch_subset="random",
+            minibatch_subset_prop=0.5,
+            corruption=dict(noise_std=0.05, shading=0.0, salt_pepper=0.0))
+        out = tmp_path / "result.json"
+        main(["--which", "patch", "--n_trials", "1", "--epoch", "1",
+              "--exp_base_path", str(tmp_path / "exp"),
+              "--world_json", json.dumps(world), "--out", str(out)])
+        result = json.loads(out.read_text())
+        assert {"lr_crnn", "lr_prep"} <= set(result["best_params"])
+
+
 class TestSweepFallback:
     def test_random_search_crnn(self, tmp_path):
         from qea_ocr_tpu.sweeps import sweep
