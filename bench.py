@@ -60,9 +60,15 @@ def run_tpu(n_steps: int = 20, D: int = 96, S: int = 16) -> float:
     # grad model pins conv_impl="xla" (cmajor bwd at D=96 OOMs: 27.6G vs
     # 15.75G HBM, measured); the eval twin resolves `auto` (= xla unless
     # QEA_CONV_IMPL=cmajor is set) — mirrors the production trainer.
-    prep = UNet(remat=_env_flag("QEA_BENCH_REMAT", False),
+    # QEA_BENCH_REMAT: ""/0 off, 1/true full per-block remat (measured
+    # worse, RESULTS.md), "shallow" = enc1/dec1 only (the selective probe
+    # for unlocking D>96)
+    remat_raw = os.environ.get("QEA_BENCH_REMAT", "").strip().lower()
+    remat = ("shallow" if remat_raw == "shallow"
+             else _env_flag("QEA_BENCH_REMAT", False))
+    prep = UNet(remat=remat,
                 mxu_packed=default_mxu_packed(), conv_impl="xla")
-    prep_eval = UNet(remat=_env_flag("QEA_BENCH_REMAT", False),
+    prep_eval = UNet(remat=remat,
                      mxu_packed=default_mxu_packed())
     crnn = CRNN(vocab_size=cm.vocab_size)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))

@@ -70,6 +70,75 @@ def probe_fused_convs(d):
     print(f"fused shallow convs total: {total:.1f} ms")
 
 
+def probe_chained_floor(d, h=400, w=512, iters=10):
+    """FLAT-RESIDENT FLOOR: the 8 shallow fused convs chained back-to-back
+    in the padded-flat layout with only the irreducible glue — one
+    pad_flat at entry, a flat 2x2 pool + re-pad between encoder levels, a
+    flat channel concat per decoder level, and an unflat+repeat+pad
+    stand-in for the parity-interleave upconv. This LOWER-BOUNDS any
+    flat-resident cmajor UNet eval forward: the real network adds the
+    three deep levels, true ConvTranspose upconvs, the cin=1 entry pad,
+    and the final 1x1+sigmoid+unflat. Decision rule (VERDICT r3 item 3):
+    if this floor is not clearly below the XLA NHWC FULL forward (81.2 ms
+    at D=96), the flat-resident build cannot win and the kernel retires
+    from the document path."""
+    from qea_ocr_tpu.models.unet import _flat_pool
+    from qea_ocr_tpu.ops.pallas.conv_cmajor import (
+        conv_flat_bn_relu, pad_flat, unflat)
+
+    rng = np.random.default_rng(0)
+    f = 32
+
+    def wk(cin, cout):
+        return jnp.asarray(
+            0.1 * rng.standard_normal((3, 3, cin, cout)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+
+    def mladd(cout):
+        return jnp.ones((cout,), jnp.float32), jnp.zeros((cout,), jnp.float32)
+
+    ws = dict(
+        e1c0=wk(16, f), e1c1=wk(f, f),
+        e2c0=wk(f, 2 * f), e2c1=wk(2 * f, 2 * f),
+        d2c0=wk(4 * f, 2 * f), d2c1=wk(2 * f, 2 * f),
+        d1c0=wk(3 * f, f), d1c1=wk(f, f),
+    )
+
+    def chain(x, ws):
+        def cv(xf, key, hh, ww):
+            m, a = mladd(ws[key].shape[-1])
+            return conv_flat_bn_relu(xf, ws[key], m, a, hh, ww)
+
+        h2, w2 = h // 2, w // 2
+        # entry: cin 1 -> 16 zero-pad (kernel needs >=8 sublanes), one pad_flat
+        xf = pad_flat(jnp.pad(x, ((0, 0), (0, 15), (0, 0), (0, 0))))
+        e1 = cv(cv(xf, "e1c0", h, w), "e1c1", h, w)          # (D, f, flat)
+        p1 = pad_flat(_flat_pool(e1, h, w))                   # level glue
+        e2 = cv(cv(p1, "e2c0", h2, w2), "e2c1", h2, w2)       # (D, 2f, flat)
+        # decoder @ 200x256: skip concat in flat layout (emulated up = e2)
+        d2in = jnp.concatenate([e2, e2], axis=1)              # 4f channels
+        d2 = cv(cv(d2in, "d2c0", h2, w2), "d2c1", h2, w2)     # (D, 2f, flat)
+        # upconv stand-in: unflat + 2x2 repeat + re-pad (same traffic class
+        # as the parity-interleave)
+        up = unflat(d2, h2, w2)
+        up = jnp.repeat(jnp.repeat(up, 2, axis=2), 2, axis=3)
+        d1in = jnp.concatenate([pad_flat(up), e1], axis=1)    # 3f channels
+        d1 = cv(cv(d1in, "d1c0", h, w), "d1c1", h, w)         # (D, f, flat)
+        # thin-slice readback (same convention as probe_fused_convs)
+        return d1[:, :, ::4096].astype(jnp.float32).mean()
+
+    x = jnp.asarray(rng.random((d, 1, h, w), dtype=np.float32))
+    fj = jax.jit(chain)
+    ms = timeit(lambda: fj(x, ws), iters=iters)
+    print(f"flat-resident shallow chain (8 fused convs + pools/concats/"
+          f"up stand-in) D={d} ({h},{w}): {ms:.1f} ms")
+    print("decision: floor must sit CLEARLY below the XLA full forward "
+          "(81.2 ms at D=96) to justify the flat-resident build — the "
+          "real net still adds deep levels, true upconvs, and the output "
+          "head on top of this number.")
+    return ms
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=96)
@@ -77,8 +146,14 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--convs", action="store_true",
                     help="also time the 8 shallow fused convs in isolation")
+    ap.add_argument("--chain", action="store_true",
+                    help="time the flat-resident shallow-chain FLOOR "
+                         "(finish-or-retire decision probe)")
     args = ap.parse_args()
     h, w = args.size
+    if args.chain:
+        probe_chained_floor(args.docs, h, w, iters=args.iters)
+        return
     if args.convs:
         probe_fused_convs(args.docs)
         return

@@ -468,9 +468,14 @@ class UNet(nn.Module):
     init_features: int = 32
     compute_dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
-    remat: bool = False   # rematerialize blocks in backward: ~1.3x FLOPs
-                          # for O(levels) less activation HBM — unlocks
-                          # larger document batches
+    remat: Any = False    # rematerialize blocks in backward. True/"full":
+                          # every block (measured WORSE on HBM at D=96 —
+                          # the checkpoint barriers defeat XLA's
+                          # elementwise-into-conv fusion, RESULTS.md).
+                          # "shallow": only the full-resolution enc1/dec1
+                          # blocks (vanilla layout), whose HxWx32ch
+                          # activations dominate the liveset — the
+                          # selective probe for unlocking D>96 batches.
     mxu_packed: bool = False  # space-to-depth packing of the two shallow
                               # levels (exact math, MXU-aligned channels;
                               # see ops/s2d.py). Checkpoint-compatible with
@@ -490,9 +495,12 @@ class UNet(nn.Module):
         f = self.init_features
         kw = dict(compute_dtype=self.compute_dtype,
                   param_dtype=self.param_dtype)
-        blk_cls = (nn.remat(UNetBlock, static_argnums=(2,))
-                   if self.remat else UNetBlock)
-        block = lambda feat, name: blk_cls(feat, name=name, **kw)
+        def block(feat, name):
+            r = (self.remat in (True, "full")
+                 or (self.remat == "shallow" and name in ("enc1", "dec1")))
+            cls = (nn.remat(UNetBlock, static_argnums=(2,))
+                   if r else UNetBlock)
+            return cls(feat, name=name, **kw)
         pool = lambda y: nn.max_pool(y, (2, 2), strides=(2, 2))
         upconv = lambda feat, name: nn.ConvTranspose(
             feat, (2, 2), strides=(2, 2),

@@ -83,6 +83,36 @@ class TestUNet:
         out = model.apply(v, x, train=False)
         assert out.shape == (1, 1, 96, 128)
 
+    @pytest.mark.parametrize("remat", [True, "shallow"])
+    def test_remat_variants_param_and_output_identical(self, remat):
+        """remat (full or enc1/dec1-only 'shallow') changes the backward
+        schedule, never the math or the checkpoint tree."""
+        import numpy as np
+        vanilla = UNet(compute_dtype=jnp.float32)
+        rm = UNet(compute_dtype=jnp.float32, remat=remat)
+        x = jnp.asarray(np.random.default_rng(0).random((2, 1, 64, 64),
+                                                        dtype=np.float32))
+        v = vanilla.init(jax.random.PRNGKey(0), x, train=False)
+        # identical param tree: checkpoints interchange freely
+        assert (jax.tree_util.tree_structure(v) ==
+                jax.tree_util.tree_structure(
+                    rm.init(jax.random.PRNGKey(0), x, train=False)))
+        np.testing.assert_allclose(
+            np.asarray(vanilla.apply(v, x, train=False)),
+            np.asarray(rm.apply(v, x, train=False)), rtol=1e-6, atol=1e-6)
+
+        def loss(m, params):
+            return jnp.sum(m.apply({"params": params,
+                                    "batch_stats": v["batch_stats"]},
+                                   x, train=False) ** 2)
+
+        g0 = jax.grad(lambda p: loss(vanilla, p))(v["params"])
+        g1 = jax.grad(lambda p: loss(rm, p))(v["params"])
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
 
 class TestHistoryAttention:
     @pytest.mark.parametrize("activation", ["sigmoid", "softmax", "relu"])
