@@ -20,16 +20,50 @@ faulthandler.dump_traceback_later(1500, exit=True)
 pid, n_proc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 out_dir = sys.argv[4]
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+# 4 virtual devices per process; KEEP any inherited hardening flags (the
+# dryrun spawner's collective-timeout raises) but override an inherited
+# device count (pytest's conftest exports 8).
+_flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+          if "xla_force_host_platform_device_count" not in f]
+_flags.append("--xla_force_host_platform_device_count=4")
+for _f in ("--xla_cpu_collective_call_warn_stuck_timeout_seconds=120",
+           "--xla_cpu_collective_call_terminate_timeout_seconds=2400",
+           "--xla_cpu_collective_timeout_seconds=2400"):
+    if _f.split("=")[0] not in " ".join(_flags):
+        _flags.append(_f)
+os.environ["XLA_FLAGS"] = " ".join(_flags)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache (same per-platform dir as tests/conftest.py):
+# warm runs skip the ~8-min concurrent fused-phase compile on this 1-core
+# box. QEA_DRYRUN_CACHE_DIR (the dryrun cold-cache harness) overrides so a
+# deliberately-cold run stays cold.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("QEA_DRYRUN_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache", "cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=n_proc, process_id=pid)
 
 import numpy as np  # noqa: E402
+
+# Establish the cross-process Gloo context NOW, while the processes are
+# still in lockstep: the context rendezvous runs under a fixed ~30 s
+# key-value timeout, and the trainer's first collective otherwise lands
+# after multi-minute concurrent XLA compiles whose scheduling skew on a
+# contended single-core host can exceed that window (observed:
+# `Gloo context initialization failed: DEADLINE_EXCEEDED` on the first
+# buffer fetch). A trivial allgather compiles in <1 s on both sides, so
+# the rendezvous happens with near-zero skew; later collectives reuse the
+# context and are governed by the (raised) XLA collective timeouts.
+from qea_ocr_tpu.parallel import process_sum  # noqa: E402
+
+assert int(process_sum([1])[0]) == n_proc
 
 from qea_ocr_tpu.train.patch_trainer import (  # noqa: E402
     PatchTrainerConfig, TrainNNPrep)
