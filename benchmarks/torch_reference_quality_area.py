@@ -239,9 +239,25 @@ def main():
 
     charmap = CharMap.default()
     ocr = get_ocr_helper("Fake")
-    crnn, warm_acc = warmup_crnn(charmap, ocr)
-    print(f"[torch-warmup] best acc {warm_acc:.3f} "
-          f"({time.time() - t0:.0f}s)", flush=True)
+    # TORCH_CRNN_SD: start from an exported proxy (tools/export_torch.py,
+    # reference CRNN_model state_dict schema) instead of warming up here —
+    # lets the torch reference harness and the TPU pipeline share the
+    # IDENTICAL warmed proxy, removing warmup quality as a confounder in
+    # the head-to-head (the torch CTC warmup needs thousands of optimizer
+    # steps to converge on this one-core host; the shared proxy costs
+    # neither side anything).
+    sd_path = os.environ.get("TORCH_CRNN_SD")
+    if sd_path:
+        from benchmarks.torch_baseline import build_models
+        from qea_ocr_tpu.tools.export_torch import load_into_twin_crnn
+        _, crnn = build_models(charmap.vocab_size)
+        sd = torch.load(sd_path, map_location="cpu", weights_only=False)
+        load_into_twin_crnn(crnn, {k: np.asarray(v) for k, v in sd.items()})
+        print(f"[torch-warmup] loaded shared proxy {sd_path}", flush=True)
+    else:
+        crnn, warm_acc = warmup_crnn(charmap, ocr)
+        print(f"[torch-warmup] best acc {warm_acc:.3f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
 
     train_set = SyntheticWordDataset(TRAIN_SIZE, seed=SEED,
                                      corruption=CORRUPTION)
