@@ -127,7 +127,9 @@ def run_tpu(n_steps: int = 20, D: int = 96, S: int = 16) -> float:
                                strips[None], hist_labels[:, 0][None],
                                hist_lengths[:, 0][None],
                                decaying=True, inner_limit_skip=True,
-                               update_crnn=False, micro_steps=micro)
+                               update_crnn=False, micro_steps=micro,
+                               micro_refresh=_env_flag(
+                                   "QEA_BENCH_MICRO_REFRESH", micro > 1))
         else:
             crnn_state, _ = steps.phase_a(
                 crnn_state, strips, bb_mask, hist_labels, hist_lengths,

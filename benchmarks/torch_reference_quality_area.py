@@ -91,6 +91,30 @@ def area_train(charmap, ocr, crnn, train_set, val_set):
     va_imgs = np.stack([s.image for s in val_set.samples])
     va_texts = [s.label for s in val_set.samples]
 
+    # Identity pretraining of the prep (MSE(prep(x), x), Adam 1e-3) —
+    # the torch analogue of the rebuild's `prep_pretrain_epochs` and of
+    # the reference's `--prep_model` warm start (`train_nn_area.py` loads
+    # a prior run's preprocessor; a randomly-initialized UNet emits
+    # unreadable mid-gray crops and the budget loop cannot bootstrap —
+    # measured: val acc flat at 0.000 for 4 epochs without this).
+    pre_epochs = int(os.environ.get("PREP_PRETRAIN", 0))
+    if pre_epochs:
+        pre_opt = torch.optim.Adam(prep.parameters(), lr=1e-3)
+        prep.train()
+        for pe in range(pre_epochs):
+            tot = 0.0
+            order = np.random.permutation(len(train_set))
+            for bi in range(0, len(order) - BATCH + 1, BATCH):
+                x = torch.tensor(imgs[order[bi:bi + BATCH]][:, None])
+                pre_opt.zero_grad()
+                out = prep(x)
+                loss = mse(out, x)
+                loss.backward()
+                pre_opt.step()
+                tot += float(loss)
+            print(f"[torch-area] prep-pretrain {pe} mse "
+                  f"{tot / max(1, len(order) // BATCH):.5f}", flush=True)
+
     sampler = RangeCerSampler({})
     tracked: dict = {}
     best_acc, best_epoch, best_state = 0.0, 0, None

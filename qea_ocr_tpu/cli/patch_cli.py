@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "the jitted step, one phase-A + phase-B update per "
                         "chunk — reference bs=1 step dynamics at batched "
                         "amortization (must divide batch_docs)")
+    p.add_argument("--micro_refresh", action="store_true",
+                   help="with --micro_steps: re-extract phase-A history "
+                        "strips from the current prep inside each chunk "
+                        "(reference per-doc freshness; needed for "
+                        "stability at chunk sizes near 1)")
     p.add_argument("--max_strips", type=int, default=32)
     p.add_argument("--dataset", default="patch", choices=["patch", "synthetic"])
     p.add_argument("--synthetic_train_docs", type=int, default=32)
@@ -143,6 +148,7 @@ def config_from_args(args) -> PatchTrainerConfig:
         prep_pretrain_epochs=args.prep_pretrain_epochs,
         prep_ema=args.prep_ema,
         batch_docs=args.batch_docs, micro_steps=args.micro_steps,
+        micro_refresh=args.micro_refresh,
         max_strips=args.max_strips, dataset=args.dataset,
         synthetic_train_docs=args.synthetic_train_docs,
         synthetic_val_docs=args.synthetic_val_docs, use_wandb=args.use_wandb,

@@ -338,11 +338,26 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
                         hist_labels, hist_lengths, hist_valid, loss_weights,
                         jitter_images, jitter_labels, jitter_lengths,
                         *, decaying: bool, inner_limit_skip: bool,
-                        update_crnn: bool, micro_steps: int):
+                        update_crnn: bool, micro_steps: int,
+                        micro_refresh: bool = False):
         """G sequential (phase A -> phase B) chunk updates per dispatch —
         the reference's per-small-batch interleave (`train_nn_patch.py:
         225-345` at bs=1) at D-batch amortization; see the micro-stepping
-        note above."""
+        note above.
+
+        `micro_refresh=True` re-extracts chunk g's phase-A history strips
+        from the CURRENT prep (one extra UNet eval forward per chunk)
+        instead of consuming the batch-start extraction. This mirrors the
+        reference exactly: its tracking round runs the CRNN on freshly
+        cleaned strips against the tracked label HISTORY (labels from past
+        reads of older pixel versions — the history mechanism is built on
+        stale labels, `train_nn_patch.py:278-294`), so fresh pixels +
+        tracked history is the faithful pairing. The jitter round keeps the
+        batch-start noisy pixels WITH their matching OCR reads (consistent
+        pairs, one-batch staleness — the async-OCR contract). Measured:
+        without refresh, chunk-1 micro-stepping (G=batch) diverges — the
+        prep moves G updates within a batch while phase A still trains the
+        proxy on pixels from update 0."""
         G = micro_steps
         doc_xs = tuple(_chunk(a, G) for a in (
             images, bboxes, strip_mask, gt_labels, gt_lengths, strip_ids))
@@ -366,6 +381,11 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
             prep_s, crnn_s, ct, et = carry
             (im, bb, sm, gl, glen, sid), (st, bbm, hl, hlen, hv), lw, \
                 (ji, jl, jlen) = x
+            if micro_refresh:
+                doc_eval = prep_eval.apply(prep_s.variables, im, train=False)
+                st = jax.lax.stop_gradient(
+                    get_text_stack_batch(doc_eval, bb, h_out, w_out)
+                    .reshape(st.shape))
             crnn_s, loss_a = _phase_a_impl(
                 crnn_s, st, bbm, hl, hlen, hv, lw, ji, jl, jlen,
                 decaying=decaying, inner_limit_skip=inner_limit_skip)
@@ -390,7 +410,7 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
                            loss_weights, jitter_images, jitter_labels,
                            jitter_lengths, *, decaying: bool,
                            inner_limit_skip: bool, update_crnn: bool,
-                           micro_steps: int = 1):
+                           micro_steps: int = 1, micro_refresh: bool = False):
         args = (prep_state, crnn_state, images, bboxes, strip_mask,
                 gt_labels, cer_table, ent_table, gt_lengths, strip_ids,
                 strips, bb_mask, hist_labels, hist_lengths, hist_valid,
@@ -401,12 +421,13 @@ def make_steps(prep_model, crnn_model, charmap, *, h_out=32, w_out=128,
                 inner_limit_skip=inner_limit_skip, update_crnn=update_crnn)
         return _phase_ab_micro(
             *args, decaying=decaying, inner_limit_skip=inner_limit_skip,
-            update_crnn=update_crnn, micro_steps=micro_steps)
+            update_crnn=update_crnn, micro_steps=micro_steps,
+            micro_refresh=micro_refresh)
 
     phase_ab = jax.jit(
         _phase_ab_dispatch,
         static_argnames=("decaying", "inner_limit_skip", "update_crnn",
-                         "micro_steps"),
+                         "micro_steps", "micro_refresh"),
         donate_argnums=(0, 1, 6, 7))
 
     # ------------------------------------------------------------------

@@ -151,6 +151,12 @@ class PatchTrainerConfig:
                           # data_parallel). See patch_steps micro-stepping
                           # note for the documented one-batch strip
                           # staleness in phase A.
+    micro_refresh: bool = False  # re-extract phase-A history strips from
+                          # the CURRENT prep inside each micro-chunk (one
+                          # extra UNet eval forward per chunk) — the
+                          # reference's per-doc freshness. Required for
+                          # stability at chunk sizes near 1 (see
+                          # patch_steps._phase_ab_micro).
     batch_docs: int = 1
     max_strips: int = 32
     dataset: str = "patch"                 # patch | synthetic
@@ -810,7 +816,8 @@ class TrainNNPrep:
                     decaying=(cfg.weightgen_method == "decaying"),
                     inner_limit_skip=cfg.inner_limit_skip,
                     update_crnn=cfg.update_CRNN,
-                    micro_steps=cfg.micro_steps)
+                    micro_steps=cfg.micro_steps,
+                    micro_refresh=cfg.micro_refresh)
             crnn_loss = float(loss)
             crnn_updates = max(1, cfg.micro_steps)
         else:

@@ -80,7 +80,8 @@ def _world(seed=0):
     return steps, prep_state, crnn_state, batch, tables
 
 
-def _call_ab(steps, prep_state, crnn_state, b, cer, ent, micro_steps):
+def _call_ab(steps, prep_state, crnn_state, b, cer, ent, micro_steps,
+             micro_refresh=False):
     return steps.phase_ab(
         prep_state, crnn_state, b["images"], b["bboxes"], b["strip_mask"],
         b["gt_labels"], cer, ent, b["gt_lengths"], b["strip_ids"],
@@ -88,7 +89,7 @@ def _call_ab(steps, prep_state, crnn_state, b, cer, ent, micro_steps):
         b["hist_valid"], b["loss_weights"], b["jitter_images"],
         b["jitter_labels"], b["jitter_lengths"],
         decaying=True, inner_limit_skip=True, update_crnn=False,
-        micro_steps=micro_steps)
+        micro_steps=micro_steps, micro_refresh=micro_refresh)
 
 
 def _doc_slice(b, lo, hi):
@@ -144,6 +145,49 @@ def test_micro_steps_equal_sequential_small_batches():
     # G Adam steps happened, not one: step counter advanced by G
     assert int(prep_m.step) == G
     assert int(crnn_m.step) == G  # phase-A updates only (update_crnn=False)
+
+
+def test_micro_refresh_equals_reextracting_sequential():
+    """micro_refresh gold property: chunk g's phase A must see strips
+    extracted with the prep AFTER g-1 phase-B updates — i.e. the
+    micro-refresh program equals a manual loop that calls prep_extract
+    with the current prep before each small-batch phase_ab."""
+    G = 2
+    steps, prep_state, crnn_state, batch, (cer, ent) = _world()
+    (prep_m, crnn_m, doc_m, metrics_m, cer_m, ent_m, loss_a_m) = _call_ab(
+        steps, prep_state, crnn_state, batch, cer, ent, G,
+        micro_refresh=True)
+
+    steps, prep_state, crnn_state, batch, (cer, ent) = _world()
+    Dc = D // G
+    losses_a = []
+    for g in range(G):
+        sl = _doc_slice(batch, g * Dc, (g + 1) * Dc)
+        # re-extract with the CURRENT prep (the refresh semantics); the
+        # jitter inputs keep the batch-start pixels (consistent with the
+        # labels the host OCR produced from them)
+        _, sl["strips"] = steps.prep_extract(
+            prep_state, sl["images"], sl["bboxes"])
+        (prep_state, crnn_state, do, m, cer, ent, la) = _call_ab(
+            steps, prep_state, crnn_state, sl, cer, ent, 1)
+        losses_a.append(float(la))
+
+    leaf = lambda s: np.asarray(jax.tree_util.tree_leaves(s.params)[0])
+    np.testing.assert_allclose(leaf(prep_m), leaf(prep_state),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(leaf(crnn_m), leaf(crnn_state),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cer_m), np.asarray(cer),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(loss_a_m), np.mean(losses_a),
+                               rtol=1e-5)
+    # and it actually differs from the stale-strips program after the
+    # first chunk (the prep moved, so chunk 1's phase-A inputs changed)
+    steps2, prep_state2, crnn_state2, batch2, (cer2, ent2) = _world()
+    (_, crnn_stale, *_rest) = _call_ab(
+        steps2, prep_state2, crnn_state2, batch2, cer2, ent2, G,
+        micro_refresh=False)
+    assert np.abs(leaf(crnn_m) - leaf(crnn_stale)).max() > 0
 
 
 def test_phase_b_micro_matches_sequential():
