@@ -93,13 +93,23 @@ def test_two_process_trainer_epoch(tmp_path):
     global validation (incl. an empty local window slice on process 1), and
     the summed black-box ledger — asserted inside tests/_mh_trainer_worker.py."""
     port = _free_port()
+    # Fresh per-run compile cache, SHARED by both workers: the two
+    # processes' phase programs differ (pinned per-host subsets), and the
+    # shared persistent cache can hold one but not the other (a worker
+    # fatally terminated mid-compile by the coordination service never
+    # writes its entry). One warm + one cold worker desynchronizes the
+    # first collective past Gloo's non-configurable 30s rendezvous
+    # timeout — and retries never heal it. Symmetric cold compiles stay
+    # within seconds of each other on this box (measured ~8 min, passes).
     procs = [
         subprocess.Popen(
             [sys.executable,
              os.path.join(_REPO, "tests", "_mh_trainer_worker.py"),
              str(p), "2", str(port), str(tmp_path)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            cwd=_REPO, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+            cwd=_REPO,
+            env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 "QEA_DRYRUN_CACHE_DIR": str(tmp_path / "pcache")})
         for p in range(2)
     ]
     outs = []
