@@ -78,9 +78,14 @@ def range_ranks(key: jax.Array, estimates: jax.Array, valid: jax.Array) -> jax.A
 
     _, claimed = jax.lax.scan(step, est, jnp.arange(S))
     ranks = jnp.full((S,), _BIG_RANK, jnp.int32)
-    # first claim wins: scatter later (worse) ranks first, then overwrite
-    # with earlier claims by scattering in reverse order.
-    ranks = ranks.at[claimed[::-1]].set(jnp.arange(S - 1, -1, -1, dtype=jnp.int32))
+    # A slot can be claimed twice when estimates sit near the 100.0 sentinel
+    # (a claimed slot's estimate IS the sentinel, so a later point near 100
+    # re-claims it — the reference's re-claimable quirk shrinks the picked
+    # set, `selection_utils.py:127-134`). Scatter with min-combine so the
+    # FIRST (best) claim provably wins regardless of XLA's undefined
+    # duplicate-index winner order; later duplicate ranks go unused, which
+    # matches the reference's smaller effective pick set.
+    ranks = ranks.at[claimed].min(jnp.arange(S, dtype=jnp.int32))
     return jnp.where(valid, ranks, _BIG_RANK)
 
 

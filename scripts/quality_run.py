@@ -184,7 +184,8 @@ def main():
         synthetic_strips_per_doc=STRIPS_PER_DOC,
         max_strips=STRIPS_PER_DOC, batch_docs=BATCH_DOCS,
         micro_steps=MICRO_STEPS,
-        micro_refresh=os.environ.get("MICRO_REFRESH", "0") not in ("0", ""),
+        micro_refresh=os.environ.get("MICRO_REFRESH", "0")
+        not in ("0", "", "false"),
         doc_size=DOC_SIZE,
         corruption=CORRUPTION,
         minibatch_subset=SELECTION, minibatch_subset_prop=BUDGET_PROP,

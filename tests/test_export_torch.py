@@ -111,7 +111,6 @@ def test_unet_export_roundtrip(tmp_path):
 def test_export_cli_from_orbax(tmp_path):
     """export_crnn reads a real orbax checkpoint and writes a torch-loadable
     state_dict pickle."""
-    V = C.VOCAB_SIZE if hasattr(C, "VOCAB_SIZE") else None
     from qea_ocr_tpu.utils.charmap import CharMap
     V = CharMap.default().vocab_size
     model = CRNN(vocab_size=V, compute_dtype=jnp.float32)

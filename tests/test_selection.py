@@ -73,6 +73,31 @@ class TestSelectBatchKernel:
             hits += bool(np.asarray(mask)[0, 4])
         assert hits > 40  # outlier nearly always claimed
 
+    def test_range_duplicate_claims_deterministic(self):
+        """Estimates AT the 100.0 claimed-slot sentinel make every uniform
+        point re-claim the same slot (reference re-claimable quirk,
+        `selection_utils.py:127-134`): the rank scatter then carries
+        duplicate indices, and the min-combine must make the FIRST claim
+        win deterministically (plain `.set` scatter has an XLA-undefined
+        winner)."""
+        from qea_ocr_tpu.selection.samplers import _BIG_RANK, range_ranks
+
+        S = 6
+        est = jnp.full((S,), 100.0)
+        valid = jnp.ones((S,), bool)
+        for seed in range(8):
+            ranks = np.asarray(
+                jax.jit(range_ranks)(jax.random.PRNGKey(seed), est, valid))
+            # every point claims slot 0 (argmin tie -> first); first claim
+            # (rank 0) must win and no other slot is ever ranked.
+            assert ranks[0] == 0, ranks
+            np.testing.assert_array_equal(ranks[1:], _BIG_RANK)
+        # duplicate claims shrink the effective pick set below k, exactly
+        # like the reference's picked-list duplicates.
+        mask, k = select_batch(
+            "rangeCER", jax.random.PRNGKey(0), est[None], valid[None], 0.5)
+        assert int(k[0]) == 3 and int(np.asarray(mask).sum()) == 1
+
     def test_random_is_uniformish(self):
         est = jnp.zeros((1, 8))
         valid = jnp.ones((1, 8), bool)
