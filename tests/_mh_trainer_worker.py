@@ -37,15 +37,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache (same per-platform dir as tests/conftest.py):
-# warm runs skip the ~8-min concurrent fused-phase compile on this 1-core
-# box. QEA_DRYRUN_CACHE_DIR (the dryrun cold-cache harness) overrides so a
-# deliberately-cold run stays cold.
+# persistent compile cache: the parent (dryrun `_pass_trainer_2proc` /
+# `test_two_process_trainer_epoch`) passes QEA_DRYRUN_CACHE_DIR pointing at
+# the ATOMIC pair cache (`qea_ocr_tpu/utils/pair_cache.py`) — guaranteed
+# symmetric (both workers warm or both cold), never the suite-shared
+# `.jax_cache/cpu` dir whose partial key overlap is the one-warm-one-cold
+# Gloo rendezvous hazard. The fallback is the same pair-cache default.
 jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("QEA_DRYRUN_CACHE_DIR") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache", "cpu"))
+        ".jax_cache", "2proc"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=n_proc, process_id=pid)

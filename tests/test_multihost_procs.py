@@ -93,14 +93,16 @@ def test_two_process_trainer_epoch(tmp_path):
     global validation (incl. an empty local window slice on process 1), and
     the summed black-box ledger — asserted inside tests/_mh_trainer_worker.py."""
     port = _free_port()
-    # Fresh per-run compile cache, SHARED by both workers: the two
-    # processes' phase programs differ (pinned per-host subsets), and the
-    # shared persistent cache can hold one but not the other (a worker
-    # fatally terminated mid-compile by the coordination service never
-    # writes its entry). One warm + one cold worker desynchronizes the
-    # first collective past Gloo's non-configurable 30s rendezvous
-    # timeout — and retries never heal it. Symmetric cold compiles stay
-    # within seconds of each other on this box (measured ~8 min, passes).
+    # ATOMIC persistent pair cache (qea_ocr_tpu/utils/pair_cache.py),
+    # SHARED by both workers but provably symmetric: reused warm only when
+    # a completion marker shows both workers' differing phase programs
+    # (pinned per-host subsets) were fully written by the current code;
+    # wiped to symmetric-cold otherwise. Asymmetric warmness (one worker
+    # warm, one cold — e.g. a worker fatally terminated mid-compile never
+    # writes its entry) desynchronizes the first collective past Gloo's
+    # non-configurable 30s rendezvous timeout, and retries never heal it.
+    from qea_ocr_tpu.utils import pair_cache
+    pcache = pair_cache.prepare(_REPO)
     procs = [
         subprocess.Popen(
             [sys.executable,
@@ -109,18 +111,20 @@ def test_two_process_trainer_epoch(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=_REPO,
             env={**os.environ, "JAX_PLATFORMS": "cpu",
-                 "QEA_DRYRUN_CACHE_DIR": str(tmp_path / "pcache")})
+                 "QEA_DRYRUN_CACHE_DIR": pcache})
         for p in range(2)
     ]
     outs = []
     for p in procs:
-        # cold persistent-cache first run compiles the fused phase program
-        # twice concurrently (~8 min on a 1-core box); warm runs are ~1 min
+        # symmetric-cold first run after a code change compiles the fused
+        # phase program twice concurrently (~8 min on a 1-core box);
+        # symmetric-warm runs are ~1 min
         out, _ = p.communicate(timeout=1200)
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"trainer worker failed:\n{out[-4000:]}"
         assert "TRAINER_OK" in out, out[-4000:]
+    pair_cache.mark_complete(_REPO, pcache)
     results = [[ln for ln in o.splitlines() if ln.startswith("RESULT")][-1]
                for o in outs]
     assert results[0] == results[1], results
