@@ -33,6 +33,48 @@ def _env_flag(name: str, default: bool) -> bool:
     return raw.lower() not in ("0", "false", "no", "off")
 
 
+def _probe_device(tries: int = 6, probe_secs: int = 120,
+                  backoff_secs: int = 120) -> None:
+    """Chip-lease health gate (python port of scripts/tpu_health.sh).
+
+    On the tunneled axon platform a lingering lease from a previously
+    killed — or even cleanly exited — TPU process WEDGES the next client
+    inside its first device op (~0% CPU, SIGTERM-immune). That is the
+    round-4 cold-start blow-up: BENCH_r04's 1236.9 s "compile+first step"
+    vs ≤290 s in rounds 1-3 was lease-wait, not compile (steady-state
+    throughput was unchanged). Probing from a SIGKILL-able subprocess
+    keeps the wedge out of the measuring process and bounds the wait."""
+    import subprocess
+
+    if os.environ.get("QEA_PLATFORM") == "cpu":
+        return
+    code = ("import jax, jax.numpy as jnp; "
+            "print('TPU-OK', float(jnp.sum(jnp.ones((256,256)) @ "
+            "jnp.ones((256,256)))))")
+    for i in range(1, tries + 1):
+        t0 = time.perf_counter()
+        try:
+            proc = subprocess.run([sys.executable, "-c", code],
+                                  capture_output=True, text=True,
+                                  timeout=probe_secs)
+            if proc.returncode == 0 and "TPU-OK" in proc.stdout:
+                log(f"device probe {i}/{tries} OK in "
+                    f"{time.perf_counter() - t0:.1f}s")
+                return
+            log(f"device probe {i}/{tries} rc={proc.returncode}; stderr "
+                f"tail: {proc.stderr.strip().splitlines()[-1:] or ''}")
+        except subprocess.TimeoutExpired:
+            # subprocess.run kills (SIGKILL) the child on timeout expiry
+            log(f"device probe {i}/{tries} wedged after {probe_secs}s "
+                "(lease still held); killed")
+        if i < tries:
+            log(f"backing off {backoff_secs}s before next probe")
+            time.sleep(backoff_secs)
+    raise RuntimeError(
+        f"device unreachable after {tries} probes — chip lease not "
+        "released (see CLAUDE.md 'Environment gotchas')")
+
+
 def run_tpu(n_steps: int = 20, D: int = 96, S: int = 16) -> float:
     """96-doc batches: measured sweet spot on a single v5e — per-doc step
     time improves ~2.3x over 32-doc batches (fixed overheads + small-grid
@@ -56,6 +98,9 @@ def run_tpu(n_steps: int = 20, D: int = 96, S: int = 16) -> float:
     L = cm.max_len
     W = 1
     N = D * S
+    log(f"[{time.strftime('%H:%M:%S')}] initializing models "
+        "(first in-process device op follows — a hang here is a wedged "
+        "chip lease, not a slow compile)")
     from qea_ocr_tpu.utils.platform import default_mxu_packed
     # grad model pins conv_impl="xla" (cmajor bwd at D=96 OOMs: 27.6G vs
     # 15.75G HBM, measured); the eval twin resolves `auto` (= xla unless
@@ -226,6 +271,13 @@ def run_torch_baseline() -> float:
 
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # Chip-lease gate BEFORE the first in-process device op, then the
+    # per-platform persistent compile cache (`.jax_cache/default` on the
+    # pinned TPU platform) so only the first bench after a step-code
+    # change pays the ~3-min full-step compile.
+    _probe_device()
+    from qea_ocr_tpu.utils.platform import setup_platform
+    setup_platform()
     tpu_dps = run_tpu(
         n_steps=int(os.environ.get("QEA_BENCH_STEPS", 20)),
         D=int(os.environ.get("QEA_BENCH_DOCS", 96)))
