@@ -2,8 +2,13 @@
 
 Run ONCE on a machine that has the real engines installed:
 
-    python -m qea_ocr_tpu.tools.record_ocr_golden --engine Tesseract
-    python -m qea_ocr_tpu.tools.record_ocr_golden --engine EasyOCR
+    python -m qea_ocr_tpu.tools.record_ocr_golden
+
+With no `--engine`, the recorder PROBES for real tesserocr/easyocr and
+upgrades the fixture of every engine it finds in place (erroring loudly
+when none is installed and `--stub` was not passed). Every write is
+schema-validated (`validate_fixture`) so recorder/test drift cannot
+silently orphan the replay tests.
 
 Renders a dozen synthetic text strips (clean + lightly corrupted), runs the
 real engine on them, and writes `tests/fixtures/ocr_golden/<engine>.npz`
@@ -51,10 +56,84 @@ def build_strips(seed: int = 0):
     return np.stack(images), texts
 
 
+# fixture schema contract — the replay tests (`tests/test_ocr_backends.py`)
+# and this recorder must agree on it; `validate_fixture` fails loudly on
+# drift so a recorder or test change cannot silently orphan the other side.
+_ENGINE_MODULE = {"Tesseract": "tesserocr", "EasyOCR": "easyocr"}
+_N_STRIPS = 12
+
+
+def validate_fixture(path: str) -> dict:
+    """Load + schema-check one golden npz. Raises ValueError on drift."""
+    data = np.load(path, allow_pickle=False)
+    missing = {"images", "labels", "gt_texts", "engine_kind"} - set(data.files)
+    if missing:
+        raise ValueError(f"{path}: missing keys {sorted(missing)}")
+    img = data["images"]
+    if img.shape != (_N_STRIPS, 32, 128) or img.dtype != np.float32:
+        raise ValueError(
+            f"{path}: images must be ({_N_STRIPS}, 32, 128) float32, got "
+            f"{img.shape} {img.dtype}")
+    if data["labels"].shape != (_N_STRIPS,) or \
+            data["gt_texts"].shape != (_N_STRIPS,):
+        raise ValueError(f"{path}: labels/gt_texts must be ({_N_STRIPS},)")
+    kind = str(data["engine_kind"])
+    if kind not in ("stub", "real"):
+        raise ValueError(f"{path}: engine_kind must be stub|real, got {kind!r}")
+    return dict(images=img, labels=data["labels"],
+                gt_texts=data["gt_texts"], engine_kind=kind)
+
+
+def engine_available(engine: str) -> bool:
+    """Probe for the REAL engine module (no stubs installed)."""
+    import importlib
+    import sys
+    mod = _ENGINE_MODULE[engine]
+    if mod in sys.modules:
+        # an installed stub (types.ModuleType, no __file__) must not make
+        # the real engine look present
+        return getattr(sys.modules[mod], "__file__", None) is not None
+    try:
+        importlib.import_module(mod)
+        return True
+    except ImportError:
+        return False
+
+
+def record(engine: str, out_dir: str, stub: bool) -> str:
+    if stub:
+        from qea_ocr_tpu.ocr.stub_engines import install_stub_engines
+        install_stub_engines()
+    from qea_ocr_tpu.ocr.base import get_ocr_helper
+    backend = get_ocr_helper(engine)
+    images, gt_texts = build_strips()
+    labels = backend.get_labels(images)
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"{engine.lower()}.npz")
+    prev_kind = None
+    if os.path.exists(out):
+        prev_kind = validate_fixture(out)["engine_kind"]
+    np.savez_compressed(out, images=images, labels=np.asarray(labels),
+                        gt_texts=np.asarray(gt_texts),
+                        engine_kind=np.asarray("stub" if stub else "real"))
+    validate_fixture(out)  # loud failure if the recorder drifted the schema
+    kind = "stub" if stub else "real"
+    note = f" (was {prev_kind})" if prev_kind and prev_kind != kind else ""
+    print(f"recorded {len(labels)} {kind}-engine golden outputs{note} "
+          f"-> {out}")
+    for g, l in zip(gt_texts, labels):
+        print(f"  {g!r} -> {l!r}")
+    return out
+
+
 def main():
-    ap = argparse.ArgumentParser()
+    ap = argparse.ArgumentParser(
+        description="Record golden OCR fixtures. With no --engine: probe "
+                    "for real tesserocr/easyocr and upgrade every fixture "
+                    "a real engine exists for, in place — the one-command "
+                    "path on an engine-equipped machine.")
     ap.add_argument("--engine", choices=["Tesseract", "EasyOCR"],
-                    required=True)
+                    help="record just this engine (default: all available)")
     ap.add_argument("--stub", action="store_true",
                     help="record against the deterministic stub engines "
                          "(ocr/stub_engines.py) instead of the real ones")
@@ -63,23 +142,20 @@ def main():
             os.path.abspath(__file__)))), "tests", "fixtures", "ocr_golden"))
     args = ap.parse_args()
 
-    if args.stub:
-        from qea_ocr_tpu.ocr.stub_engines import install_stub_engines
-        install_stub_engines()
-    from qea_ocr_tpu.ocr.base import get_ocr_helper
-    backend = get_ocr_helper(args.engine)
-    images, gt_texts = build_strips()
-    labels = backend.get_labels(images)
-    os.makedirs(args.out_dir, exist_ok=True)
-    out = os.path.join(args.out_dir, f"{args.engine.lower()}.npz")
-    np.savez_compressed(out, images=images, labels=np.asarray(labels),
-                        gt_texts=np.asarray(gt_texts),
-                        engine_kind=np.asarray(
-                            "stub" if args.stub else "real"))
-    print(f"recorded {len(labels)} {'stub' if args.stub else 'real'}-engine "
-          f"golden outputs -> {out}")
-    for g, l in zip(gt_texts, labels):
-        print(f"  {g!r} -> {l!r}")
+    engines = [args.engine] if args.engine else list(_ENGINE_MODULE)
+    if not args.stub:
+        available = [e for e in engines if engine_available(e)]
+        skipped = sorted(set(engines) - set(available))
+        if not available:
+            raise SystemExit(
+                f"no real engine available for {engines} (probe for "
+                f"{[_ENGINE_MODULE[e] for e in engines]} failed); install "
+                "one, or pass --stub to record stub-contract fixtures")
+        if skipped:
+            print(f"skipping {skipped}: real engine not installed")
+        engines = available
+    for engine in engines:
+        record(engine, args.out_dir, args.stub)
 
 
 if __name__ == "__main__":

@@ -205,3 +205,73 @@ def test_easyocr_golden_replay(monkeypatch):
         if kind == "stub":
             sys.modules.pop("easyocr", None)
             importlib.reload(mod)
+
+
+# ---------------------------------------------------------------------------
+# recorder hardening (tools/record_ocr_golden.py): schema validation +
+# real-engine probing
+# ---------------------------------------------------------------------------
+def test_committed_fixtures_pass_schema_validation():
+    from qea_ocr_tpu.tools.record_ocr_golden import validate_fixture
+    found = 0
+    for name in ("tesseract.npz", "easyocr.npz"):
+        f = os.path.join(FIXTURE_DIR, name)
+        if os.path.exists(f):
+            rec = validate_fixture(f)      # raises on drift
+            assert rec["engine_kind"] in ("stub", "real")
+            found += 1
+    assert found, "no committed golden fixtures"
+
+
+def test_validate_fixture_fails_loudly_on_drift(tmp_path):
+    from qea_ocr_tpu.tools.record_ocr_golden import validate_fixture
+    bad = tmp_path / "tesseract.npz"
+    np.savez_compressed(bad, images=np.zeros((3, 8, 8), np.float32))
+    with pytest.raises(ValueError, match="missing keys"):
+        validate_fixture(str(bad))
+    bad2 = tmp_path / "t2.npz"
+    np.savez_compressed(
+        bad2, images=np.zeros((3, 8, 8), np.float32),
+        labels=np.asarray(["a"] * 3), gt_texts=np.asarray(["a"] * 3),
+        engine_kind=np.asarray("stub"))
+    with pytest.raises(ValueError, match="images must be"):
+        validate_fixture(str(bad2))
+
+
+def test_recorder_probe_refuses_without_real_engine(tmp_path, monkeypatch):
+    """One-command upgrade path: with no real engine installed the recorder
+    must fail loudly, not silently re-record stub fixtures as 'real'."""
+    from qea_ocr_tpu.tools import record_ocr_golden as rec
+    if any(rec.engine_available(e) for e in ("Tesseract", "EasyOCR")):
+        pytest.skip("a real engine exists here; probe would succeed")
+    monkeypatch.setattr(sys, "argv",
+                        ["record_ocr_golden", "--out_dir", str(tmp_path)])
+    with pytest.raises(SystemExit, match="no real engine"):
+        rec.main()
+    assert not list(tmp_path.iterdir())
+
+
+def test_recorder_stub_rerecord_matches_committed(tmp_path, monkeypatch):
+    """--stub re-records into a fresh dir; output must match the committed
+    stub-contract fixture byte-for-byte (labels + images)."""
+    from qea_ocr_tpu.tools import record_ocr_golden as rec
+    committed = os.path.join(FIXTURE_DIR, "tesseract.npz")
+    if not os.path.exists(committed):
+        pytest.skip("no committed tesseract fixture")
+    monkeypatch.setattr(sys, "argv",
+                        ["record_ocr_golden", "--engine", "Tesseract",
+                         "--stub", "--out_dir", str(tmp_path)])
+    try:
+        rec.main()
+    finally:
+        sys.modules.pop("tesserocr", None)
+        sys.modules.pop("easyocr", None)
+        import qea_ocr_tpu.ocr.tesseract as tmod
+        import qea_ocr_tpu.ocr.easyocr_backend as emod
+        importlib.reload(tmod)
+        importlib.reload(emod)
+    new = rec.validate_fixture(str(tmp_path / "tesseract.npz"))
+    old = rec.validate_fixture(committed)
+    assert [str(x) for x in new["labels"]] == [str(x) for x in old["labels"]]
+    np.testing.assert_array_equal(new["images"], old["images"])
+    assert old["engine_kind"] == "stub"
