@@ -169,14 +169,20 @@ def _make_stub_unidecode() -> types.ModuleType:
 
 
 def _make_stub_gcloud() -> dict:
-    google = types.ModuleType("google")
-    cloud = types.ModuleType("google.cloud")
+    """Seed `google.cloud(.vision)` ONLY — never `google` itself, which is
+    a real namespace package here (protobuf lives under it; replacing it
+    broke `google.protobuf` for tensorboard)."""
     vision = types.ModuleType("google.cloud.vision")
     vision.ImageAnnotatorClient = None  # constructed only by GcloudHelper
-    google.cloud = cloud
+    out = {"google.cloud.vision": vision}
+    try:
+        import google.cloud as cloud  # may exist without vision
+    except ImportError:
+        cloud = types.ModuleType("google.cloud")
+        cloud.__path__ = []  # package-like so submodule imports resolve
+        out["google.cloud"] = cloud
     cloud.vision = vision
-    return {"google": google, "google.cloud": cloud,
-            "google.cloud.vision": vision}
+    return out
 
 
 # --------------------------------------------------------------------------
