@@ -109,6 +109,11 @@ def main():
     t0 = time.time()
     import glob
 
+    # persistent per-platform compile cache (same as bench.py): repeat
+    # quality runs skip the ~3-min full-step TPU compile
+    from qea_ocr_tpu.utils.platform import setup_platform
+    setup_platform()
+
     crnn_ckpt = os.environ.get("CRNN_CKPT")  # reuse a previous warmup
     if not crnn_ckpt:
         # ------------- 1. CRNN warmup ----------------------------------

@@ -45,6 +45,10 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     t0 = time.time()
 
+    # persistent per-platform compile cache (same as bench.py)
+    from qea_ocr_tpu.utils.platform import setup_platform
+    setup_platform()
+
     crnn_ckpt = os.environ.get("CRNN_CKPT")
     if not crnn_ckpt:
         from qea_ocr_tpu.train.crnn_trainer import CrnnTrainerConfig, TrainCRNN
