@@ -222,6 +222,28 @@ def run_eval(world: str, exp: str):
     return acc, cer
 
 
+def torch_ckpt_from_orbax(orbax_path: str, out_path: str) -> str:
+    """Rebuild the rebuild's warmed proxy as a reference whole-module
+    pickle: orbax -> reference-schema state_dict (`tools/export_torch`) ->
+    reference `models/model_crnn.CRNN` -> `torch.save(module)` — the exact
+    feedback path docs/MIGRATION.md documents. Lets all three quality
+    harnesses start from ONE shared TPU-warmed proxy."""
+    import torch
+
+    from models.model_crnn import CRNN as RefCRNN
+
+    from qea_ocr_tpu.tools.export_torch import export_crnn
+
+    sd = export_crnn(orbax_path, out_path + ".state_dict")
+    m = RefCRNN(95, False)
+    m.load_state_dict(
+        {k: torch.tensor(np.asarray(v)) for k, v in sd.items()})
+    torch.save(m, out_path)
+    print(f"[shared-proxy] orbax {orbax_path} -> reference module "
+          f"{out_path}", flush=True)
+    return out_path
+
+
 def main():
     t0 = time.time()
     os.makedirs(OUT, exist_ok=True)
@@ -232,7 +254,11 @@ def main():
     import properties
     properties.num_workers = 0  # 1-core box: in-process DataLoader
 
-    crnn_ckpt = os.environ.get("CRNN_TORCH_CKPT") or run_warmup(world)
+    if os.environ.get("CRNN_ORBAX_CKPT"):
+        crnn_ckpt = torch_ckpt_from_orbax(
+            os.environ["CRNN_ORBAX_CKPT"], os.path.join(OUT, "crnn_shared"))
+    else:
+        crnn_ckpt = os.environ.get("CRNN_TORCH_CKPT") or run_warmup(world)
     best_acc, best_epoch, logged, exp = run_patch(world, cers_path, crnn_ckpt)
     acc, cer = run_eval(world, exp)
 

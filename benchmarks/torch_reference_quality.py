@@ -403,9 +403,25 @@ def main():
     charmap = CharMap.default()
     ocr = get_ocr_helper("Fake")
 
-    crnn, warm_acc = warmup_crnn(charmap, ocr)
-    print(f"[torch-warmup] best acc {warm_acc:.3f} ({time.time() - t0:.0f}s)",
-          flush=True)
+    if os.environ.get("CRNN_ORBAX_CKPT"):
+        # shared TPU-warmed proxy (same one the JAX pipeline and the
+        # verbatim-reference harness load): orbax -> reference-schema
+        # state_dict -> the torch twin's key names
+        from benchmarks.torch_baseline import build_models
+        from qea_ocr_tpu.tools.export_torch import (
+            load_into_twin_crnn, state_dict_from_crnn, _load_state)
+        from qea_ocr_tpu.models import CRNN as JaxCRNN
+        variables = _load_state(os.environ["CRNN_ORBAX_CKPT"],
+                                JaxCRNN(vocab_size=charmap.vocab_size),
+                                (32, 128))
+        _, crnn = build_models(charmap.vocab_size)
+        load_into_twin_crnn(crnn, state_dict_from_crnn(variables))
+        print(f"[torch-warmup] shared proxy loaded from "
+              f"{os.environ['CRNN_ORBAX_CKPT']}", flush=True)
+    else:
+        crnn, warm_acc = warmup_crnn(charmap, ocr)
+        print(f"[torch-warmup] best acc {warm_acc:.3f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
 
     train_set = PatchDocuments.synthetic(
         TRAIN_DOCS, seed=SEED, n_strips=STRIPS_PER_DOC,
