@@ -38,6 +38,9 @@ PATCH_DEV = "patch_dataset_dev"
 PATCH_TEST = "patch_dataset_test"
 WORD_TRAIN = "textarea_dataset_train"
 WORD_DEV = "textarea_dataset_dev"
+VGG_TRAIN = "vgg_train"            # the area trainer's split names
+VGG_DEV = "vgg_dev"                # (`properties.py:7-9`)
+VGG_TEST = "vgg_test"
 
 
 def _save_png(path: str, img: np.ndarray) -> None:

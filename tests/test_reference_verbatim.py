@@ -231,3 +231,61 @@ def test_verbatim_micro_train(reference, tmp_path):
     # the whole-module pickle loads back (torch.load shim default)
     m = torch.load(prep_ckpts[0])
     assert hasattr(m, "forward")
+
+
+def test_verbatim_area_micro_train(reference, tmp_path):
+    """1-epoch verbatim `train_nn_area.TrainNNPrep.train()` on an on-disk
+    word world: exact per-batch budget ledger, seed-CER name contract,
+    finite losses."""
+    import argparse
+
+    import wandb  # recording stub
+
+    import train_nn_area
+
+    from qea_ocr_tpu.data.datasets import ImgDataset
+    from qea_ocr_tpu.ocr.base import get_ocr_helper
+    from qea_ocr_tpu.ocr.engine import OcrQueryEngine
+    from qea_ocr_tpu.tools.cer_seed import seed_area
+    from qea_ocr_tpu.tools.ref_world import (
+        VGG_DEV, VGG_TRAIN, write_word_split)
+    from qea_ocr_tpu.utils.charmap import CharMap
+
+    corr = dict(noise_std=0.1, shading=0.12, salt_pepper=0.0)
+    world = tmp_path / "world"
+    B, prop = 8, 0.5
+    write_word_split(str(world / VGG_TRAIN), 24, seed=5, corruption=corr)
+    write_word_split(str(world / VGG_DEV), 16, seed=6, corruption=corr)
+
+    cm = CharMap.default()
+    ds = ImgDataset(str(world / VGG_TRAIN))
+    cers = seed_area(ds, OcrQueryEngine(get_ocr_helper("Fake"), cm), cm)
+    cers_path = tmp_path / "cers.json"
+    cers_path.write_text(json.dumps(cers))
+
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    args = argparse.Namespace(
+        batch_size=B, lr_crnn=1e-4, lr_prep=5e-5, scalar=1.0, epoch=1,
+        warmup_epochs=0, std=3, random_std=True, inner_limit=2,
+        inner_limit_skip=True, crnn_model=None, prep_model=None,
+        data_base_path=str(world), exp_base_path=str(exp), ocr="Tesseract",
+        minibatch_subset="rangeCER", minibatch_subset_prop=prop,
+        start_epoch=0, train_subset_size=None, val_subset_size=None,
+        lr_scheduler=None, cers_ocr_path=str(cers_path),
+        weightgen_method="decaying", window_size=2, decay_factor=0.7,
+        random_seed=42, exp_name="t", exp_id=None, update_CRNN=False,
+        query_dim=32, emb_dim=256, attn_activation="sigmoid",
+        discount_factor=1)
+    trainer = train_nn_area.TrainNNPrep(args)
+    assert {os.path.basename(f) for f in trainer.train_set.files} == set(cers)
+    n_before = len(wandb.logged)
+    trainer.train()
+
+    rec = wandb.logged[-1]
+    assert len(wandb.logged) == n_before + 1
+    n_batches = len(trainer.train_set) // B
+    assert n_batches >= 2
+    assert rec["Black-Box Calls"] == 2 * math.ceil(B * (1 - prop)) * n_batches
+    assert np.isfinite(rec["train_loss"]) and np.isfinite(rec["val_loss"])
+    assert (exp / "ckpts" / "CRNN_model_0").exists()
