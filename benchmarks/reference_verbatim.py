@@ -150,7 +150,8 @@ def run_warmup(world: str) -> str:
     return ckpts[-1]
 
 
-def run_patch(world: str, cers_path: str, crnn_ckpt: str | None):
+def run_patch(world: str, cers_path: str, crnn_ckpt: str | None,
+              prep_ckpt: str | None = None):
     """Verbatim `train_nn_patch.TrainNNPrep.train()`."""
     import wandb  # the recording stub
 
@@ -165,7 +166,7 @@ def run_patch(world: str, cers_path: str, crnn_ckpt: str | None):
         inner_limit_skip=True, minibatch_subset="rangeCER",
         minibatch_subset_prop=BUDGET_PROP, window_size=WINDOW_SIZE,
         weightgen_method="decaying", decay_factor=0.7,
-        cers_ocr_path=cers_path, crnn_model=crnn_ckpt, prep_model=None,
+        cers_ocr_path=cers_path, crnn_model=crnn_ckpt, prep_model=prep_ckpt,
         data_base_path=world, exp_base_path=exp, ocr="Tesseract",
         # patch_cli.py defaults for the rest
         random_seed=SEED, start_epoch=0, warmup_epochs=0,
@@ -222,6 +223,48 @@ def run_eval(world: str, exp: str):
     return acc, cer
 
 
+def pretrain_prep(world: str, out_path: str, epochs: int) -> str:
+    """Identity-pretrain the REFERENCE UNet on the train documents — the
+    `--prep_model` warm-start artifact the reference loads from a prior
+    run (`train_nn_patch.py:96-99`). Same recipe as the rebuild's
+    `prep_pretrain_epochs` (MSE(prep(x), x), Adam 1e-3) and the area
+    harnesses' PREP_PRETRAIN: a randomly-initialized UNet emits unreadable
+    mid-gray strips and the budget loop cannot bootstrap at small scale
+    (measured: 48 docs x 10 epochs ends BELOW the original-strip baseline
+    without this, 19.5% vs 55.5%)."""
+    import torch
+
+    from datasets.patch_dataset import PatchDataset
+    from models.model_unet import UNet as RefUNet
+
+    from qea_ocr_tpu.tools.ref_world import PATCH_TRAIN
+
+    ds = PatchDataset(os.path.join(world, PATCH_TRAIN), pad=True,
+                      include_name=True)
+    imgs = torch.stack([ds[i][0] for i in range(len(ds))])  # (N,1,H,W)
+    prep = RefUNet()
+    opt = torch.optim.Adam(prep.parameters(), lr=1e-3)
+    mse = torch.nn.MSELoss()
+    prep.train()
+    rng = np.random.default_rng(SEED)
+    B = 2
+    for pe in range(epochs):
+        tot, nb = 0.0, 0
+        order = rng.permutation(len(ds))
+        for bi in range(0, len(order) - B + 1, B):
+            x = imgs[order[bi:bi + B]]
+            opt.zero_grad()
+            loss = mse(prep(x), x)
+            loss.backward()
+            opt.step()
+            tot += float(loss)
+            nb += 1
+        print(f"[verbatim] prep-pretrain {pe} mse {tot / max(1, nb):.5f}",
+              flush=True)
+    torch.save(prep, out_path)
+    return out_path
+
+
 def torch_ckpt_from_orbax(orbax_path: str, out_path: str) -> str:
     """Rebuild the rebuild's warmed proxy as a reference whole-module
     pickle: orbax -> reference-schema state_dict (`tools/export_torch`) ->
@@ -259,7 +302,11 @@ def main():
             os.environ["CRNN_ORBAX_CKPT"], os.path.join(OUT, "crnn_shared"))
     else:
         crnn_ckpt = os.environ.get("CRNN_TORCH_CKPT") or run_warmup(world)
-    best_acc, best_epoch, logged, exp = run_patch(world, cers_path, crnn_ckpt)
+    pre_epochs = int(os.environ.get("PREP_PRETRAIN", 0))
+    prep_ckpt = (pretrain_prep(world, os.path.join(OUT, "prep_warmstart"),
+                               pre_epochs) if pre_epochs else None)
+    best_acc, best_epoch, logged, exp = run_patch(world, cers_path,
+                                                  crnn_ckpt, prep_ckpt)
     acc, cer = run_eval(world, exp)
 
     summary = dict(

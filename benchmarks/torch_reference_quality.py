@@ -246,6 +246,34 @@ def patch_train(charmap, ocr, crnn, train_set, val_set):
     ctc = torch.nn.CTCLoss(blank=charmap.blank_id, zero_infinity=True)
     mse = torch.nn.MSELoss()
 
+    # Identity pretraining of the prep (MSE(prep(x), x), Adam 1e-3) — the
+    # torch analogue of the rebuild's `prep_pretrain_epochs` and of the
+    # reference's `--prep_model` warm start. Off by default (the published
+    # 96-doc/15-epoch row bootstrapped without it); PREP_PRETRAIN=N enables
+    # it for head-to-heads against pipelines that pretrain (quality_run.py
+    # defaults to 8) — at 48 docs x 10 epochs the budget loop cannot
+    # bootstrap from a random UNet on any implementation.
+    pre_epochs = int(os.environ.get("PREP_PRETRAIN", 0))
+    if pre_epochs:
+        pre_opt = torch.optim.Adam(prep.parameters(), lr=1e-3)
+        prep.train()
+        B = 2
+        for pe in range(pre_epochs):
+            tot, nb = 0.0, 0
+            order = np.random.permutation(len(train_set))
+            for bi in range(0, len(order) - B + 1, B):
+                x = torch.stack([
+                    torch.tensor(train_set[int(di)].image[None])
+                    for di in order[bi:bi + B]])
+                pre_opt.zero_grad()
+                loss = mse(prep(x), x)
+                loss.backward()
+                pre_opt.step()
+                tot += float(loss)
+                nb += 1
+            print(f"[torch-patch] prep-pretrain {pe} mse "
+                  f"{tot / max(1, nb):.5f}", flush=True)
+
     sampler = RangeCerSampler({})
     tracked: dict = {}
     best_acc, best_epoch, best_state = 0.0, 0, None
