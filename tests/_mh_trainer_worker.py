@@ -54,18 +54,34 @@ jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
 
 import numpy as np  # noqa: E402
 
-# Establish the cross-process Gloo context NOW, while the processes are
-# still in lockstep: the context rendezvous runs under a fixed ~30 s
-# key-value timeout, and the trainer's first collective otherwise lands
-# after multi-minute concurrent XLA compiles whose scheduling skew on a
-# contended single-core host can exceed that window (observed:
+# Establish EVERY cross-process Gloo context NOW, while the processes are
+# still in lockstep: each distinct device group's context rendezvous runs
+# under a fixed ~30 s key-value timeout, and the trainer's first
+# collective over a not-yet-seen group otherwise lands after multi-minute
+# concurrent XLA compiles whose scheduling skew on a contended
+# single-core host can exceed that window. Observed BOTH ways:
 # `Gloo context initialization failed: DEADLINE_EXCEEDED` on the first
-# buffer fetch). A trivial allgather compiles in <1 s on both sides, so
-# the rendezvous happens with near-zero skew; later collectives reuse the
-# context and are governed by the (raised) XLA collective timeouts.
-from qea_ocr_tpu.parallel import process_sum  # noqa: E402
+# buffer fetch (process-pair group, fixed by the trivial allgather below)
+# AND later on the full 8-device group (key `cpu:gloo/0,1,2,3,2048..`),
+# whose context is only created by the first global-mesh collective —
+# ~8 min into a symmetric-cold run. Tiny programs compile in seconds on
+# both sides, so each rendezvous happens with near-zero skew; the
+# trainer's heavy collectives then reuse the contexts and are governed by
+# the (raised) XLA collective timeouts.
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec  # noqa: E402
 
-assert int(process_sum([1])[0]) == n_proc
+from qea_ocr_tpu.parallel import make_mesh, process_sum  # noqa: E402
+
+assert int(process_sum([1])[0]) == n_proc          # process-pair group
+_mesh = make_mesh()                                 # the trainer's mesh
+_x = jax.make_array_from_process_local_data(
+    NamedSharding(_mesh, PartitionSpec("data")),
+    np.ones((jax.local_device_count(),), np.float32))
+_y = jax.jit(jnp.sum,
+             out_shardings=NamedSharding(_mesh, PartitionSpec()))(_x)
+assert float(np.asarray(_y)) == jax.device_count()  # full-mesh group live
+print(f"[worker {pid}] gloo contexts established", flush=True)
 
 from qea_ocr_tpu.train.patch_trainer import (  # noqa: E402
     PatchTrainerConfig, TrainNNPrep)

@@ -92,35 +92,50 @@ def test_two_process_trainer_epoch(tmp_path):
     document subsets, per-host OCR fan-out, global-array assembly, masked
     global validation (incl. an empty local window slice on process 1), and
     the summed black-box ledger — asserted inside tests/_mh_trainer_worker.py."""
-    port = _free_port()
     # ATOMIC persistent pair cache (qea_ocr_tpu/utils/pair_cache.py),
     # SHARED by both workers but provably symmetric: reused warm only when
     # a completion marker shows both workers' differing phase programs
     # (pinned per-host subsets) were fully written by the current code;
     # wiped to symmetric-cold otherwise. Asymmetric warmness (one worker
     # warm, one cold — e.g. a worker fatally terminated mid-compile never
-    # writes its entry) desynchronizes the first collective past Gloo's
-    # non-configurable 30s rendezvous timeout, and retries never heal it.
+    # writes its entry) desynchronizes Gloo context creation past its
+    # non-configurable 30s rendezvous timeout. The worker also
+    # pre-creates every Gloo device-group context in lockstep at startup;
+    # on a contended 1-core box residual skew is still possible, so one
+    # retry (which re-prepares, i.e. re-wipes to symmetric-cold) rerolls
+    # the scheduling dice instead of failing the suite.
     from qea_ocr_tpu.utils import pair_cache
-    pcache = pair_cache.prepare(_REPO)
-    procs = [
-        subprocess.Popen(
-            [sys.executable,
-             os.path.join(_REPO, "tests", "_mh_trainer_worker.py"),
-             str(p), "2", str(port), str(tmp_path)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            cwd=_REPO,
-            env={**os.environ, "JAX_PLATFORMS": "cpu",
-                 "QEA_DRYRUN_CACHE_DIR": pcache})
-        for p in range(2)
-    ]
-    outs = []
-    for p in procs:
-        # symmetric-cold first run after a code change compiles the fused
-        # phase program twice concurrently (~8 min on a 1-core box);
-        # symmetric-warm runs are ~1 min
-        out, _ = p.communicate(timeout=1200)
-        outs.append(out)
+    last = None
+    for attempt in range(2):
+        port = _free_port()
+        pcache = pair_cache.prepare(_REPO)
+        out_dir = tmp_path / f"run{attempt}"
+        out_dir.mkdir()
+        procs = [
+            subprocess.Popen(
+                [sys.executable,
+                 os.path.join(_REPO, "tests", "_mh_trainer_worker.py"),
+                 str(p), "2", str(port), str(out_dir)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd=_REPO,
+                env={**os.environ, "JAX_PLATFORMS": "cpu",
+                     "QEA_DRYRUN_CACHE_DIR": pcache})
+            for p in range(2)
+        ]
+        outs = []
+        for p in procs:
+            # symmetric-cold first run after a code change compiles the
+            # fused phase program twice concurrently (4-8 min on a 1-core
+            # box); symmetric-warm runs are ~2.5 min (measured 143 s:
+            # dual jax startup + executable-cache deserialization)
+            out, _ = p.communicate(timeout=1200)
+            outs.append(out)
+        last = (procs, outs)
+        if all(p.returncode == 0 for p in procs):
+            break
+        print(f"[2proc] attempt {attempt} failed; tails:\n"
+              + "\n---\n".join(o[-1500:] for o in outs), flush=True)
+    procs, outs = last
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"trainer worker failed:\n{out[-4000:]}"
         assert "TRAINER_OK" in out, out[-4000:]
