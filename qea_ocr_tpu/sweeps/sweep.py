@@ -21,7 +21,10 @@ from typing import Optional
 
 try:
     import optuna
-    HAVE_OPTUNA = True
+    # a minimal stand-in (e.g. the reference-oracle shim, tools/ref_shims
+    # — TrialPruned only) is NOT a usable optuna: fall back to the
+    # optuna-free random-search path it cannot serve
+    HAVE_OPTUNA = hasattr(optuna, "pruners") and hasattr(optuna, "create_study")
 except ImportError:  # pragma: no cover
     HAVE_OPTUNA = False
 

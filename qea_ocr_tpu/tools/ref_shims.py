@@ -186,6 +186,19 @@ def _make_stub_gcloud() -> dict:
 
 
 # --------------------------------------------------------------------------
+_INSTALLED: list = []   # stub module names this process injected
+
+
+def remove_reference_shims() -> None:
+    """Pop exactly the stub modules `install_reference_shims` injected, so
+    later code probing for the real deps (e.g. `sweeps/sweep.py`'s optuna
+    gate) sees honest ImportErrors again. Reference modules already
+    imported keep their bound references and continue to work."""
+    for name in _INSTALLED:
+        sys.modules.pop(name, None)
+    _INSTALLED.clear()
+
+
 def install_reference_shims() -> None:
     """Install every missing-dependency shim (idempotent; never overrides a
     real installed module)."""
@@ -217,6 +230,7 @@ def install_reference_shims() -> None:
                 stubs[name] = (make_stub_tesserocr() if name == "tesserocr"
                                else make_stub_easyocr())
     sys.modules.update(stubs)
+    _INSTALLED.extend(k for k in stubs if k not in _INSTALLED)
 
     import torch
     if not getattr(torch.load, "_qea_weights_only_shim", False):

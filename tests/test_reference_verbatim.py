@@ -39,13 +39,17 @@ CORRUPTION = dict(noise_std=0.18, shading=0.25, salt_pepper=0.01)
 
 @pytest.fixture(scope="module")
 def reference():
-    """Enter the reference repo (shims + sys.path + cwd); restore cwd."""
-    from qea_ocr_tpu.tools.ref_shims import enter_reference
+    """Enter the reference repo (shims + sys.path + cwd); restore cwd and
+    REMOVE the dependency stubs at teardown so later tests probing for the
+    real deps (optuna/wandb/...) see honest ImportErrors again."""
+    from qea_ocr_tpu.tools.ref_shims import (
+        enter_reference, remove_reference_shims)
     prev = enter_reference(_REF)
     import properties
     properties.num_workers = 0
     yield _REF
     os.chdir(prev)
+    remove_reference_shims()
 
 
 def _write_world(tmp_path, n_docs=4, n_strips=3, doc_size=(400, 512)):
