@@ -52,6 +52,16 @@ def weighted_ctc_loss(
         per_depth = jnp.sum(per_norm * validf, axis=0) / denom   # (W,)
         return jnp.sum(loss_weights[:W] * per_depth)
     else:
-        w = loss_weights[:, 1:W + 1]                             # (B, W)
+        # Depth/column pairing parity (`tracking_utils.py:74`
+        # `loss_weights[img_indices, i]`): the weight matrix is generated
+        # from the PRE-append history as [1 | w(h_0) ... w(h_{W-1})]
+        # (`tracking_methods.py:81-83`), and depth 0 is the FRESHLY
+        # appended OCR label — so depth i consumes column i: the fresh
+        # label always carries the constant 1.0 (column 0) and history
+        # slot j carries w(h_{j-1}); the last generated column goes
+        # unused. (A 1-column shift here was caught by the verbatim
+        # differential `test_weightgen_and_weighted_ctc_loss_differential`
+        # — 23.4 vs the reference's 175.0 on identical inputs.)
+        w = loss_weights[:, :W]                                  # (B, W)
         per_depth = jnp.sum(per * w * validf, axis=0) / denom
         return jnp.sum(per_depth)

@@ -293,3 +293,98 @@ def test_verbatim_area_micro_train(reference, tmp_path):
     assert rec["Black-Box Calls"] == 2 * math.ceil(B * (1 - prop)) * n_batches
     assert np.isfinite(rec["train_loss"]) and np.isfinite(rec["val_loss"])
     assert (exp / "ckpts" / "CRNN_model_0").exists()
+
+
+def test_weightgen_and_weighted_ctc_loss_differential(reference):
+    """DIRECT numerical differential of the tracking-loss semantics against
+    the reference's own functions on identical inputs: the levenshtein
+    weight generator (`label_tracking/tracking_methods.py:60-99`) and
+    `weighted_ctc_loss` + `generate_ctc_target_batches`
+    (`tracking_utils.py:42-75`), in the trainer's exact order (weights from
+    PRE-append history, then append the fresh OCR label, then build depth
+    targets — `train_nn_patch.py:282-285`). Both the per-sample
+    (levenshtein) and the decaying reductions must match to float
+    tolerance."""
+    import argparse
+
+    import label_tracking.tracking_methods as ref_methods
+    import tracking_utils as ref_tracking
+
+    import jax
+    import jax.numpy as jnp
+    from qea_ocr_tpu.tracking.history import LabelHistory
+    from qea_ocr_tpu.tracking.loss import weighted_ctc_loss as our_loss
+    from qea_ocr_tpu.tracking.weights import (
+        decaying_weights, levenshtein_weights)
+    from qea_ocr_tpu.utils.charmap import CharMap
+
+    cm = CharMap.default()
+    W, T, V = 2, 31, cm.vocab_size
+    pre_history = {"a": ["AB", "CD", "EF"], "b": ["XY"], "c": []}
+    names = ["a", "b", "c"]
+    fresh = ["AB", "XZ", "QQ"]
+    B = len(names)
+    rng = np.random.default_rng(0)
+    scores_np = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(T, B, V)).astype(np.float32)), axis=2))
+
+    # ---------------- reference side -----------------------------------
+    import utils as ref_utils
+    c2i, _i2c, vocab = ref_utils.get_char_maps(
+        __import__("properties").char_set)
+    assert vocab == V
+
+    class Obj:
+        pass
+
+    obj = Obj()
+    obj.window_size = W
+    obj.char_to_index = c2i
+    obj.device = torch.device("cpu")
+    obj.tracked_labels = {k: list(v) for k, v in pre_history.items()}
+    obj.primary_loss_fn = torch.nn.CTCLoss()
+    obj.primary_loss_fn_sample_wise = torch.nn.CTCLoss(reduction="none")
+
+    gen = ref_methods.LevenshteinWeightGenerator(
+        argparse.Namespace(window_size=W), obj.device)
+    ref_w = gen.gen_weights(obj.tracked_labels, names)      # PRE-append
+    ref_tracking.add_labels_to_history(obj, names, fresh)
+    batches = ref_tracking.generate_ctc_target_batches(obj, names)
+    scores_t = torch.tensor(scores_np)
+    pred_size = torch.full((B,), T, dtype=torch.int)
+
+    obj.weightgen_method = "levenshtein"
+    ref_lev = float(ref_tracking.weighted_ctc_loss(
+        obj, scores_t, pred_size, batches, ref_w))
+
+    obj.weightgen_method = "decaying"
+    decay = torch.tensor([0.7 ** i for i in range(W)])
+    ref_dec = float(ref_tracking.weighted_ctc_loss(
+        obj, scores_t, pred_size, batches, decay))
+
+    # ---------------- rebuild side --------------------------------------
+    hist = LabelHistory(B, W, charmap=cm)
+    for sid, name in enumerate(names):
+        for text in pre_history[name]:      # oldest -> newest
+            e, ln = cm.encode([text])
+            hist.add(np.asarray([sid]), e, ln, [text])
+    labs_pre, lens_pre, valid_pre = hist.gather(np.arange(B))
+    our_w = levenshtein_weights(jnp.asarray(labs_pre), jnp.asarray(lens_pre),
+                                jnp.asarray(valid_pre))
+    # weight-generator differential: (B, W+1), element by element
+    np.testing.assert_allclose(np.asarray(our_w), ref_w.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+    e, ln = cm.encode(fresh)
+    hist.add(np.arange(B), e, ln, fresh)
+    labs, lens, valid = hist.gather(np.arange(B))
+    scores_j = jnp.asarray(scores_np)
+    our_lev = float(our_loss(
+        scores_j, jnp.asarray(labs), jnp.asarray(lens), jnp.asarray(valid),
+        our_w, pad_id=cm.pad_id, decaying=False))
+    our_dec = float(our_loss(
+        scores_j, jnp.asarray(labs), jnp.asarray(lens), jnp.asarray(valid),
+        decaying_weights(0.7, W), pad_id=cm.pad_id, decaying=True))
+
+    np.testing.assert_allclose(our_lev, ref_lev, rtol=1e-4)
+    np.testing.assert_allclose(our_dec, ref_dec, rtol=1e-4)

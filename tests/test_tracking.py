@@ -161,7 +161,10 @@ class TestWeightedCTC:
             nll = np.asarray(ctc_loss_samplewise(
                 scores, labs[:, d], lens[:, d], pad_id=cm.pad_id))
             m = v[:, d]
-            want += float((nll[m] * np.asarray(lw)[m, d + 1]).mean())
+            # depth d consumes weight COLUMN d (reference
+            # `tracking_utils.py:74`): depth 0 is the fresh label and
+            # carries the generator's constant-1 column 0
+            want += float((nll[m] * np.asarray(lw)[m, d]).mean())
         np.testing.assert_allclose(float(loss), want, rtol=1e-4)
 
     def test_empty_depth_contributes_zero(self):
